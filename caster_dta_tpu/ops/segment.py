@@ -1,0 +1,130 @@
+"""Segment (gather/scatter) ops over padded, sorted edge lists.
+
+This is the TPU replacement for the reference's single native dependency,
+torch_scatter (reference models/gvp_layers.py:37 and PyG's
+``MessagePassing.propagate`` scatter machinery, gvp_layers.py:291-308).
+
+Layout contract (see data/graphs.py): edges of each graph are sorted by
+destination node, padding edges point at ``dst = N-1`` and are masked. With a
+batch of B graphs each padded to N nodes / E edges, the flattened global
+segment ids ``b * N + dst`` are globally sorted, so ``jax.ops.segment_sum``
+can be given ``indices_are_sorted=True`` and XLA lowers it to an efficient
+sorted scatter-add.
+
+A Pallas kernel that reformulates the scatter as blocked one-hot matmuls on
+the MXU lives in ops/pallas_segment.py; this module is the always-correct
+reference path the kernels are tested against.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_nodes(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-edge node features.
+
+    node_feat: [B, N, ...]; idx: i32 [B, E] -> [B, E, ...]
+    """
+    extra = node_feat.ndim - 2
+    idx_exp = idx.reshape(idx.shape + (1,) * extra)
+    idx_exp = jnp.broadcast_to(idx_exp, idx.shape + node_feat.shape[2:])
+    return jnp.take_along_axis(node_feat, idx_exp, axis=1)
+
+
+def segment_sum(
+    messages: jnp.ndarray,
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+) -> jnp.ndarray:
+    """Sum per-edge messages into destination nodes.
+
+    messages: [B, E, F] (any trailing dims); dst: i32 [B, E] sorted per graph;
+    edge_mask: bool [B, E]. Returns [B, N, F...].
+    """
+    b, e = dst.shape
+    trailing = messages.shape[2:]
+    mask = edge_mask.reshape((b, e) + (1,) * len(trailing))
+    flat = jnp.where(mask, messages, 0).reshape((b * e,) + trailing)
+    seg_ids = (dst + num_nodes * jnp.arange(b, dtype=dst.dtype)[:, None]).reshape(-1)
+    out = jax.ops.segment_sum(
+        flat, seg_ids, num_segments=b * num_nodes, indices_are_sorted=True
+    )
+    return out.reshape((b, num_nodes) + trailing)
+
+
+def segment_degree(dst: jnp.ndarray, edge_mask: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Count of real incoming edges per node, f32 [B, N]."""
+    return segment_sum(edge_mask.astype(jnp.float32)[..., None], dst, edge_mask, num_nodes)[..., 0]
+
+
+def segment_mean(
+    messages: jnp.ndarray,
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+) -> jnp.ndarray:
+    """Mean of real incoming messages per node (padding never pollutes means,
+    matching torch_scatter 'mean' semantics on the unpadded graph)."""
+    total = segment_sum(messages, dst, edge_mask, num_nodes)
+    deg = segment_degree(dst, edge_mask, num_nodes)
+    deg = jnp.maximum(deg, 1.0)
+    return total / deg.reshape(deg.shape + (1,) * (total.ndim - 2))
+
+
+def segment_max(
+    messages: jnp.ndarray,
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Max of real incoming messages per node; nodes with no edges get `fill`."""
+    b, e = dst.shape
+    trailing = messages.shape[2:]
+    neg = jnp.asarray(-jnp.inf, messages.dtype)
+    mask = edge_mask.reshape((b, e) + (1,) * len(trailing))
+    flat = jnp.where(mask, messages, neg).reshape((b * e,) + trailing)
+    seg_ids = (dst + num_nodes * jnp.arange(b, dtype=dst.dtype)[:, None]).reshape(-1)
+    out = jax.ops.segment_max(
+        flat, seg_ids, num_segments=b * num_nodes, indices_are_sorted=True
+    )
+    out = jnp.where(jnp.isfinite(out), out, fill)
+    return out.reshape((b, num_nodes) + trailing)
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+) -> jnp.ndarray:
+    """Numerically-stable softmax of per-edge logits grouped by destination.
+
+    Used by attention-style convs (GATv2/GAT/HEAT/AttentiveFP). Padding edges
+    receive weight 0. logits: [B, E, H] -> weights [B, E, H].
+    """
+    m = segment_max(logits, dst, edge_mask, num_nodes, fill=0.0)
+    m_per_edge = gather_nodes(m, dst)
+    exp = jnp.where(edge_mask[..., None], jnp.exp(logits - m_per_edge), 0.0)
+    denom = segment_sum(exp, dst, edge_mask, num_nodes)
+    denom_per_edge = jnp.maximum(gather_nodes(denom, dst), 1e-16)
+    return exp / denom_per_edge
+
+
+def aggregate(
+    messages: jnp.ndarray,
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+    mode: str,
+) -> jnp.ndarray:
+    """Dispatch on aggregation mode ('sum'/'add', 'mean', 'max')."""
+    if mode in ("sum", "add"):
+        return segment_sum(messages, dst, edge_mask, num_nodes)
+    if mode == "mean":
+        return segment_mean(messages, dst, edge_mask, num_nodes)
+    if mode == "max":
+        return segment_max(messages, dst, edge_mask, num_nodes)
+    raise ValueError(f"unknown aggregation mode: {mode!r}")

@@ -1,0 +1,25 @@
+"""Test configuration: force the JAX CPU backend with a virtual 8-device mesh
+so multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this image pre-imports jax in sitecustomize with JAX_PLATFORMS=axon, so
+env vars are too late here — we must update jax.config before any backend is
+instantiated. Tests must never touch the (single, exclusive-access) TPU chip.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
