@@ -1,0 +1,70 @@
+"""Multi-head attention with torch.nn.MultiheadAttention-compatible math.
+
+The reference's cross-attention block (models/joint_gnn.py:321-408) is built
+on ``nn.MultiheadAttention(embed_dim, kdim=..., vdim=..., batch_first=True)``
+with a ``key_padding_mask`` and head-averaged attention weights returned. This
+module reproduces those semantics exactly (so transplanted reference weights
+produce identical outputs) while running as one fused dense attention over the
+padded [B, L, D] batches — no ragged densification needed.
+
+For very large R×A products the Pallas blockwise-masked attention kernel in
+ops/pallas_attention.py can be swapped in; this XLA version is the reference
+path (XLA already fuses the softmax chain well at these sizes).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from caster_dta_tpu.nn.common import Dense
+
+_NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
+
+
+class MultiheadAttention(nn.Module):
+    """batch_first torch MHA: query [B,Lq,E], key/value [B,Lk,Dk].
+
+    Returns (out [B,Lq,E], attn_weights [B,Lq,Lk] averaged over heads).
+    key_padding_mask marks PADDING keys True (torch convention).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None,
+                 deterministic: bool = True):
+        e, h = self.embed_dim, self.num_heads
+        assert e % h == 0, "embed_dim must divide num_heads"
+        hd = e // h
+        b, lq, _ = query.shape
+        lk = key.shape[1]
+
+        q = Dense(e, dtype=self.dtype, name="q_proj")(query)
+        k = Dense(e, dtype=self.dtype, name="k_proj")(key)
+        v = Dense(e, dtype=self.dtype, name="v_proj")(value)
+
+        q = q.reshape(b, lq, h, hd).transpose(0, 2, 1, 3)   # [B,H,Lq,hd]
+        k = k.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
+        weights = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, weights.shape)
+            weights_used = jnp.where(keep, weights / (1.0 - self.dropout), 0.0)
+        else:
+            weights_used = weights
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights_used, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
+        out = Dense(e, dtype=self.dtype, name="out_proj")(out)
+        return out, weights.mean(axis=1)  # torch averages over heads
