@@ -1,0 +1,74 @@
+"""Benchmark: full jitted training step of the flagship CASTER-DTA(2,2) model
+on a BindingDB-shaped bucket, on the real TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric (BASELINE.json): protein-graph edges/s/chip through the GVP
+message-passing layers during training (forward+backward+optimizer). The
+reference publishes no throughput numbers (BASELINE.json.published == {}), so
+vs_baseline is reported against the recorded first-round value in
+bench_baseline.json (1.0 when absent).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _trained_config_model, _synthetic_batch
+    from caster_dta_tpu.train.loop import TrainConfig, Trainer
+
+    # BindingDB-shaped bucket: ~460-residue proteins at 4A threshold
+    # (~9 edges/node), drug-size molecules; budget 4e6 -> batch 32 capped.
+    B, N_P, E_P, N_M, E_M = 32, 512, 4096, 64, 256
+    batch = _synthetic_batch(b=B, n_p=N_P, e_p=E_P, n_m=N_M, e_m=E_M, seed=0)
+
+    model = _trained_config_model()
+    cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4)
+    trainer = Trainer(model, cfg, batch)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup/compile
+    p, o, loss, _ = trainer._train_step(trainer.params, trainer.opt_state, batch, rng)
+    jax.block_until_ready(loss)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        p, o, loss, _ = trainer._train_step(p, o, batch, rng)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+
+    p_edges = int(np.asarray(batch.protein.edge_mask).sum())
+    m_edges = int(np.asarray(batch.molecule.edge_mask).sum())
+    edges_per_s = (p_edges + m_edges) / dt
+    pairs_per_s = B / dt
+
+    baseline_file = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    baseline = None
+    if os.path.exists(baseline_file):
+        baseline = json.load(open(baseline_file)).get("edges_per_s")
+    vs = edges_per_s / baseline if baseline else 1.0
+
+    result = {
+        "metric": "gvp_train_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3),
+        "extra": {
+            "step_time_ms": round(dt * 1e3, 2),
+            "pairs_per_s": round(pairs_per_s, 1),
+            "batch": {"B": B, "N_p": N_P, "E_p": E_P, "N_m": N_M, "E_m": E_M},
+            "real_edges_per_batch": p_edges + m_edges,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

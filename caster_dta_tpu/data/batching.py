@@ -1,0 +1,176 @@
+"""Static-shape bucketed batching — the TPU replacement for the reference's
+dynamic greedy batch sampler (dataset/dual_dataset.py:424-523).
+
+The reference packs variable-size batches under an element budget with a
+quadratic R×A cross-attention cost model; every batch has a new shape, which
+on TPU would force a recompile per batch. Here each pair is assigned to a
+static bucket (N_pad, E_pad, A_pad, M_pad) from geometric ladders, and the
+per-bucket batch size is derived from the same cost model:
+
+  cost(bucket) = E_pad + M_pad (edge counts, 'both')
+                 + N_pad * A_pad (cross-attention nodepair term)
+  batch_size(bucket) = clamp(max_num // cost, 1, max_batch_size)
+
+so the reference's memory envelope (train_model.py:240-248 budgets) is
+honored while XLA compiles exactly one executable per bucket. Partial batches
+are padded by repeating the last pair with loss weight 0.
+
+Divergence from the reference (documented): the reference's DataLoader passes
+shuffle/include_nodepair positionally swapped into its sampler
+(dual_dataset.py:414-420 vs :432-442), making shuffle=False still shuffle
+(noted in its own evaluation.py:12-14). This implementation has correct
+shuffle semantics.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+from flax import struct
+
+from caster_dta_tpu.data.graphs import GraphBatch, pad_graph, stack_graphs
+
+
+def _ladder(value: int, ladder: Sequence[int]) -> int:
+    for step in ladder:
+        if value <= step:
+            return step
+    raise ValueError(f"size {value} exceeds largest bucket {ladder[-1]}")
+
+
+# node ladders sized for proteins (<=3000 residues, load_data.py:218-222 cap)
+# and drug-like molecules; edge ladders grow geometrically.
+PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
+MOLECULE_NODE_LADDER = (16, 32, 48, 64, 96, 128, 192, 256)
+EDGE_LADDER = tuple(2 ** k for k in range(4, 21))
+
+
+@struct.dataclass
+class PairBatch:
+    protein: GraphBatch
+    molecule: GraphBatch
+    target: np.ndarray      # f32 [B]
+    weight: np.ndarray      # f32 [B]; 0 for padding pairs
+    pair_idx: np.ndarray    # i32 [B] dataset indices (padding repeats last)
+
+    @property
+    def bucket(self):
+        return (self.protein.n_pad, self.protein.e_pad,
+                self.molecule.n_pad, self.molecule.e_pad)
+
+
+class BucketedLoader:
+    """Iterates PairBatches with static shapes per bucket.
+
+    max_num / max_batch_size correspond to the reference's per-dataset budgets
+    (kiba 8e6/64; bindingdb, belka 4e6/32; else 16e6/128).
+    """
+
+    def __init__(self, dataset, indices: Optional[Sequence[int]] = None,
+                 max_num: int = 12_000_000, max_batch_size: Optional[int] = 128,
+                 shuffle: bool = True, seed: int = 0,
+                 include_nodepair: bool = True,
+                 protein_node_ladder=PROTEIN_NODE_LADDER,
+                 molecule_node_ladder=MOLECULE_NODE_LADDER,
+                 edge_ladder=EDGE_LADDER):
+        self.dataset = dataset
+        self.indices = np.asarray(indices if indices is not None
+                                  else np.arange(len(dataset)))
+        self.max_num = max_num
+        self.max_batch_size = max_batch_size or 1 << 30
+        self.shuffle = shuffle
+        self.include_nodepair = include_nodepair
+        self.rng = np.random.default_rng(seed)
+        self.p_ladder = protein_node_ladder
+        self.m_ladder = molecule_node_ladder
+        self.e_ladder = edge_ladder
+
+        # per-pair bucket assignment (precomputed once)
+        self._bucket_of = {}
+        for i in self.indices:
+            pg, mg, _ = dataset[int(i)]
+            b = (_ladder(pg["n_nodes"], self.p_ladder),
+                 _ladder(pg["n_edges"], self.e_ladder),
+                 _ladder(mg["n_nodes"], self.m_ladder),
+                 _ladder(mg["n_edges"], self.e_ladder))
+            self._bucket_of[int(i)] = b
+        self._pad_cache: dict = {}
+
+    def bucket_batch_size(self, bucket) -> int:
+        n_p, e_p, n_m, e_m = bucket
+        cost = e_p + e_m
+        if self.include_nodepair:
+            cost += n_p * n_m
+        return int(np.clip(self.max_num // max(cost, 1), 1, self.max_batch_size))
+
+    def buckets(self):
+        out = {}
+        for i, b in self._bucket_of.items():
+            out.setdefault(b, []).append(i)
+        return out
+
+    def __iter__(self) -> Iterator[PairBatch]:
+        order = self.indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(order)
+        queues: dict = {}
+        for i in order:
+            b = self._bucket_of[int(i)]
+            q = queues.setdefault(b, [])
+            q.append(int(i))
+            if len(q) >= self.bucket_batch_size(b):
+                yield self._assemble(b, q)
+                queues[b] = []
+        # flush partial batches (padded to the bucket's batch size)
+        for b, q in queues.items():
+            if q:
+                yield self._assemble(b, q)
+
+    def __len__(self):
+        n = 0
+        for b, idxs in self.buckets().items():
+            bs = self.bucket_batch_size(b)
+            n += (len(idxs) + bs - 1) // bs
+        return n
+
+    def _padded_graph(self, kind: str, key, graph: dict, n_pad: int, e_pad: int):
+        cache_key = (kind, key, n_pad, e_pad)
+        hit = self._pad_cache.get(cache_key)
+        if hit is None:
+            hit = pad_graph(
+                node_s=graph["node_s"], node_v=graph["node_v"],
+                edge_index=graph["edge_index"], edge_s=graph["edge_s"],
+                edge_v=graph["edge_v"], node_type=graph["node_type"],
+                edge_type=graph["edge_type"], n_pad=n_pad, e_pad=e_pad)
+            self._pad_cache[cache_key] = hit
+        return hit
+
+    def _assemble(self, bucket, idxs) -> PairBatch:
+        n_p, e_p, n_m, e_m = bucket
+        bs = self.bucket_batch_size(bucket)
+        weight = np.zeros(bs, np.float32)
+        weight[:len(idxs)] = 1.0
+        full_idxs = list(idxs) + [idxs[-1]] * (bs - len(idxs))
+
+        prots, mols, targets = [], [], []
+        for i in full_idxs:
+            pg, mg, target = self.dataset[i]
+            pid, mid = self.dataset.pair_indices[i]
+            prots.append(self._padded_graph("p", pid, pg, n_p, e_p))
+            mols.append(self._padded_graph("m", mid, mg, n_m, e_m))
+            targets.append(target)
+        return PairBatch(
+            protein=stack_graphs(prots),
+            molecule=stack_graphs(mols),
+            target=np.asarray(targets, np.float32),
+            weight=weight,
+            pair_idx=np.asarray(full_idxs, np.int32))
+
+
+def dataset_budgets(dataset_name: str):
+    """Per-dataset element budget / max batch size (train_model.py:240-248)."""
+    if dataset_name == "kiba":
+        return 8_000_000, 64
+    if dataset_name in ("bindingdb", "belka") or "bindingdb" in dataset_name:
+        return 4_000_000, 32
+    return 16_000_000, 128

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: sorted segment-sum as blocked one-hot matmuls.
+
+This is the framework's native replacement for the reference's torch_scatter
+aggregation (models/gvp_layers.py:37, PyG MessagePassing scatter). The edges
+of every graph are sorted by destination (data/graphs.py contract), so the
+scatter becomes a *segmented reduction over a contiguous edge range per
+destination-row block*, which maps onto the MXU:
+
+  for each (graph b, dst-row block r of BN rows):
+    for each CE-edge chunk overlapping the block's contiguous edge range:
+      onehot[d, e] = (dst[e] == r*BN + d)          # [BN, CE] on the VPU
+      acc += onehot @ messages[chunk]              # [BN, F] on the MXU
+
+The per-block edge ranges come from a scalar-prefetched row-pointer array
+(block_ptr = searchsorted(dst, block boundaries)); message and dst chunks are
+DMA'd HBM->VMEM at CE-aligned offsets (chunks may straddle block boundaries;
+out-of-block edges contribute zero rows in the one-hot). Padded edges carry
+dst = N-1 but their messages are zeroed by the wrapper, so padding never
+pollutes sums; mean normalization uses real-edge degrees (ops/segment.py).
+
+The backward pass of a segment-sum is a gather, provided via custom_vjp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from caster_dta_tpu.ops import segment as xla_segment
+
+BN = 128   # destination rows per block
+CE = 128   # edges per chunk
+
+
+def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
+                    acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    start = block_ptr_ref[b * (nb + 1) + r]
+    end = block_ptr_ref[b * (nb + 1) + r + 1]
+    aligned_start = (start // CE) * CE
+    n_chunks = (end - aligned_start + CE - 1) // CE
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, CE), 0) + r * BN
+
+    def body(k, carry):
+        offset = aligned_start + k * CE
+        c_msg = pltpu.make_async_copy(
+            msgs_ref.at[b, pl.ds(offset, CE), :], msg_vmem, msg_sem)
+        c_msg.start()
+        c_dst = pltpu.make_async_copy(
+            dst_ref.at[b, pl.ds(offset, CE)], dst_vmem, dst_sem)
+        c_dst.start()
+        c_dst.wait()
+        onehot = (dst_vmem[...][None, :] == row_ids).astype(jnp.float32)
+        c_msg.wait()
+        acc_ref[...] += jax.lax.dot(
+            onehot, msg_vmem[...], preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, :] = acc_ref[...]
+
+
+def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
+                           num_nodes: int) -> jnp.ndarray:
+    """messages [B, E, F] f32 (already masked), dst [B, E] sorted -> [B, N, F]."""
+    b, e, f = messages.shape
+    n_pad = ((num_nodes + BN - 1) // BN) * BN
+    nb = n_pad // BN
+    e_pad = ((e + CE - 1) // CE) * CE + CE   # slack so aligned DMA stays in range
+    messages = jnp.pad(messages, ((0, 0), (0, e_pad - e), (0, 0)))
+    # keep padded dst in-range but pointing at the last real node row; their
+    # messages are zero so the one-hot contribution is zero anyway
+    dst = jnp.pad(dst, ((0, 0), (0, e_pad - e)), constant_values=num_nodes - 1)
+
+    boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * BN
+    block_ptr = jax.vmap(
+        lambda d: jnp.searchsorted(d, boundaries, side="left"))(dst)
+    block_ptr = block_ptr.astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # dst stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # messages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, BN, f), lambda bi, ri, ptr: (bi, ri, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BN, f), jnp.float32),
+            pltpu.VMEM((CE, f), jnp.float32),
+            pltpu.VMEM((CE,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = pl.pallas_call(
+        _segment_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, f), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(block_ptr, dst, messages)
+    return out[:, :num_nodes, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_segment_sum(messages, dst, edge_mask, num_nodes: int):
+    """Drop-in for ops.segment.segment_sum on [B, E, F] f32 messages."""
+    masked = jnp.where(edge_mask[..., None], messages, 0.0)
+    return _pallas_segment_sum_2d(masked, dst, num_nodes)
+
+
+def _fwd(messages, dst, edge_mask, num_nodes):
+    return pallas_segment_sum(messages, dst, edge_mask, num_nodes), (dst, edge_mask)
+
+
+def _bwd(num_nodes, res, g):
+    dst, edge_mask = res
+    grad_msgs = xla_segment.gather_nodes(g, dst)
+    grad_msgs = jnp.where(edge_mask[..., None], grad_msgs, 0.0)
+    return grad_msgs, None, None
+
+
+pallas_segment_sum.defvjp(_fwd, _bwd)

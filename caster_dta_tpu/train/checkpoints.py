@@ -1,0 +1,98 @@
+"""Checkpointing + run artifacts.
+
+Behavioral spec: reference train_model.py:666-708 (filename-convention best
+checkpoints) and inference/inference_utils.py:12-67 (prefix-sorted best-model
+discovery, rebuild-from-artifacts contract). The four JSON artifacts keep the
+reference's exact schemas: dataset_kwargs.json, dataset_rescale_params.json,
+model_kwargs.json, plus train_command.txt and a model summary.
+
+Weights are stored as msgpack via flax.serialization with a .msgpack suffix
+(the torch ``.pt`` state dicts of the reference can also be loaded through
+interop.torch_import).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_params(params, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(template, path: str):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def best_checkpoint_name(kind: str, dataset_name: str, loss: float, epoch: int) -> str:
+    """bestvalmodel_{ds}_val{loss}_epoch{e:05d}.msgpack etc.
+    (reference train_model.py:672,681,707)."""
+    if kind == "val":
+        return f"bestvalmodel_{dataset_name}_val{loss:.4f}_epoch{epoch:>05d}.msgpack"
+    if kind == "train":
+        return f"besttrainmodel_{dataset_name}_train{loss:.4f}_epoch{epoch:>05d}.msgpack"
+    if kind == "final":
+        return f"finalmodel_{dataset_name}_val{loss:.4f}_epoch{epoch:>05d}.msgpack"
+    raise ValueError(kind)
+
+
+def get_best_model(checkpoint_path: str, use_best: str = "val") -> str:
+    """Prefix-sorted best-model discovery (inference_utils.py:12-37); accepts
+    both .msgpack (ours) and .pt (reference) checkpoints."""
+    if os.path.isdir(checkpoint_path):
+        names = sorted(os.listdir(checkpoint_path))
+        prefixes = {"val": ("bestvalmodel", "bestmodel"),
+                    "train": ("besttrainmodel",),
+                    "final": ("finalmodel",)}[use_best]
+        names = [x for x in names if x.startswith(prefixes)
+                 and (x.endswith(".msgpack") or x.endswith(".pt"))]
+        if not names:
+            raise FileNotFoundError(
+                f"no {use_best} checkpoint found in {checkpoint_path}")
+        return os.path.join(checkpoint_path, names[0])
+    if os.path.isfile(checkpoint_path):
+        return checkpoint_path
+    raise FileNotFoundError(f"invalid checkpoint path {checkpoint_path}")
+
+
+def save_run_artifacts(output_folder: str, dataset_kwargs: dict,
+                       rescale_params: Optional[dict],
+                       protein_gnn_kwargs: dict, molecule_gnn_kwargs: dict,
+                       joint_gnn_kwargs: dict,
+                       model_summary: Optional[str] = None) -> None:
+    """The reference's artifact set (train_model.py:58-65,154-164,344-349)."""
+    os.makedirs(output_folder, exist_ok=True)
+    with open(os.path.join(output_folder, "train_command.txt"), "w") as f:
+        f.write(sys.executable + " " + " ".join(sys.argv))
+    with open(os.path.join(output_folder, "dataset_kwargs.json"), "w") as f:
+        json.dump(dataset_kwargs, f, indent=4)
+    if rescale_params is not None:
+        with open(os.path.join(output_folder, "dataset_rescale_params.json"), "w") as f:
+            json.dump(rescale_params, f, indent=4)
+    with open(os.path.join(output_folder, "model_kwargs.json"), "w") as f:
+        json.dump({"protein_gnn_kwargs": protein_gnn_kwargs,
+                   "molecule_gnn_kwargs": molecule_gnn_kwargs,
+                   "joint_gnn_kwargs": joint_gnn_kwargs}, f, indent=4)
+    if model_summary is not None:
+        with open(os.path.join(output_folder, "model_summary.txt"), "w") as f:
+            f.write(model_summary)
+
+
+def param_summary(params) -> str:
+    """Per-path parameter table (stand-in for pyg_summary, train_model.py:372)."""
+    lines = []
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        lines.append(f"{jax.tree_util.keystr(path):80s} {str(leaf.shape):20s} {n:>10d}")
+    lines.append(f"{'TOTAL':80s} {'':20s} {total:>10d}")
+    return "\n".join(lines)

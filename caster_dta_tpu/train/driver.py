@@ -1,0 +1,167 @@
+"""Training CLI driver.
+
+Behavioral spec: reference train_model.py (the 829-line script): same flags
+(--dataset --seed --out-folder --checkpoint --use-best --skip-training), same
+artifact outputs, same defaults (CASTER-DTA(2,2): lbamodel+gine, Adam 1e-4,
+plateau 0.8/50, early stop 200, standardize targets, 4A dist edges with
+self-loops), same dataset caching keyed by dataframe+kwargs hashes.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+
+from caster_dta_tpu.data.batching import dataset_budgets
+from caster_dta_tpu.data.datasets import load_dataset
+from caster_dta_tpu.data.pairs import ProteinMoleculeDataset
+from caster_dta_tpu.models.joint import make_joint_gnn
+from caster_dta_tpu.train import checkpoints
+from caster_dta_tpu.train.loop import TrainConfig, fit
+
+DEFAULT_DATASET_KWARGS = dict(
+    sparse_edges=False,
+    protein_dist_units="angstroms",
+    protein_edge_thresh=4,
+    protein_thresh_type="dist",
+    protein_keep_selfloops=True,
+    protein_vector_features=True,
+    protein_include_esm2=False,
+    protein_include_residue_posenc=False,
+    protein_include_aa_props=True,
+    molecule_full_atomtype=False,
+    molecule_onehot_ordinal_feats=False,
+    molecule_include_selfloops=True,
+    scale_output=["standardize"],
+)
+
+
+def default_model_kwargs(metadata: dict):
+    """The trained CASTER-DTA(2,2) config (reference train_model.py:276-331)."""
+    protein_gnn_kwargs = dict(
+        base_conv="lbamodel",
+        in_channels=metadata["protein_node_features"],
+        edge_dim=metadata["protein_edge_features"],
+        num_ntypes=metadata["protein_node_types"],
+        num_etypes=metadata["protein_edge_types"],
+        ntype_emb_dim=None, etype_emb_dim=None,
+        num_convs=2, hidden_channels=(16, 4), edge_hidden_channels=(32, 1),
+        out_channels=64, dropout_rate=0.2, activation="leaky_relu", aggr="sum")
+    molecule_gnn_kwargs = dict(
+        base_conv="gine",
+        in_channels=metadata["molecule_node_features"],
+        edge_dim=metadata["molecule_edge_features"],
+        num_ntypes=metadata["molecule_node_types"],
+        num_etypes=metadata["molecule_edge_types"],
+        ntype_emb_dim=None, etype_emb_dim=None,
+        num_convs=2, hidden_channels=16, out_channels=64, dropout_rate=0.2,
+        activation="leaky_relu", aggr="sum", gin_trainable_eps=True)
+    joint_gnn_kwargs = dict(
+        residue_lin_depth=1, atom_lin_depth=1, n_attention_heads=8,
+        attention_dropout=0.0, protein_lin_depth=1, molecule_lin_depth=1,
+        pairwise_embedding_dim=512, out_lin_depth=1, out_lin_factor=0.5,
+        out_lin_norm_type=None, activation="leaky_relu", dropout=0.1,
+        element_pooling="mean", include_residual_stream=True,
+        residual_dim_ff_scale=2, num_cross_attn_layers=1,
+        include_post_pool_layernorm=False)
+    return protein_gnn_kwargs, molecule_gnn_kwargs, joint_gnn_kwargs
+
+
+def build_or_load_dataset(data_df: pd.DataFrame, cache_dir: str,
+                          dataset_kwargs: dict, n_workers=None):
+    """Dataset build with hash-keyed caching (train_model.py:132-149)."""
+    df_hash = hashlib.sha256(
+        pd.util.hash_pandas_object(data_df, index=True).values).hexdigest()
+    kwargs_hash = hashlib.sha256(
+        json.dumps(dataset_kwargs, default=str).encode()).hexdigest()
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"00_datasetobj__{df_hash}_{kwargs_hash}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    ds = ProteinMoleculeDataset(data_df, n_workers=n_workers, **dataset_kwargs)
+    with open(path, "wb") as f:
+        pickle.dump(ds, f)
+    return ds
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train the joint GNN model on a dataset (TPU-native)")
+    p.add_argument("--dataset", type=str, default="davis")
+    p.add_argument("--out-folder", type=str, default="output")
+    p.add_argument("--seed", type=int, default=9)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--use-best", type=str, default="val",
+                   choices=["val", "train", "final"])
+    p.add_argument("--skip-training", action="store_true")
+    p.add_argument("--data-root", type=str, default="./data")
+    p.add_argument("--structures-dir", type=str, default=None,
+                   help="directory of pre-downloaded {protein_id}.pdb files")
+    p.add_argument("--n-epochs", type=int, default=2000)
+    p.add_argument("--n-workers", type=int, default=None)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_folder, exist_ok=True)
+    print(f"Using dataset: {args.dataset}\nUsing seed: {args.seed}\n"
+          f"Output folder: {args.out_folder}", flush=True)
+
+    data_df = load_dataset(args.dataset, data_root=args.data_root,
+                           structures_dir=args.structures_dir)
+    dataset_kwargs = dict(DEFAULT_DATASET_KWARGS)
+    cache_dir = args.structures_dir or os.path.join(args.data_root, "cache")
+    dataset = build_or_load_dataset(data_df, cache_dir, dataset_kwargs,
+                                    n_workers=args.n_workers)
+    print(dataset, flush=True)
+
+    pk, mk, jk = default_model_kwargs(dataset.metadata_dict)
+    model = make_joint_gnn(pk, mk, **jk)
+
+    checkpoints.save_run_artifacts(
+        args.out_folder, dataset_kwargs, dataset._report_scale_data(),
+        pk, mk, jk)
+
+    max_num, max_bsize = dataset_budgets(args.dataset)
+    cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed)
+
+    initial_params = None
+    if args.checkpoint is not None:
+        from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
+        _, variables, _ = load_model_from_checkpoint(
+            os.path.dirname(checkpoints.get_best_model(args.checkpoint, args.use_best))
+            if os.path.isdir(args.checkpoint) else os.path.dirname(args.checkpoint))
+        initial_params = variables["params"]
+
+    if args.skip_training:
+        from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
+        from caster_dta_tpu.train.loop import Trainer, split_dataset
+        from caster_dta_tpu.data.batching import BucketedLoader
+        from caster_dta_tpu.train import metrics as metrics_mod
+        model, variables, _ = load_model_from_checkpoint(
+            args.checkpoint or args.out_folder, args.use_best)
+        _, _, test_idx = split_dataset(dataset, args.seed)
+        test_dl = BucketedLoader(dataset, test_idx, max_num=max_num,
+                                 max_batch_size=max_bsize, shuffle=False)
+        example = next(iter(test_dl))
+        trainer = Trainer(model, cfg, example)
+        trainer.params = variables["params"]
+        _, pred, target, _ = trainer.eval_epoch(test_dl,
+                                                unscale=dataset.unscale_target)
+        report = metrics_mod.regression_report(pred, target)
+        print(json.dumps(report, indent=2), flush=True)
+        return report
+
+    result = fit(model, dataset, args.dataset, args.out_folder, cfg,
+                 max_num=max_num, max_batch_size=max_bsize,
+                 initial_params=initial_params)
+    print("Test metrics:", json.dumps(result["test_metrics"], indent=2), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Training loop: jitted per-bucket train/eval steps, epoch driver, best
+checkpointing, early stopping, metrics.
+
+Behavioral spec: reference train_model.py:476-802. TPU redesign: one compiled
+XLA executable per bucket shape (JAX caches by input shape) instead of
+torch.compile(dynamic=True); bf16 mixed precision replaces AMP+GradScaler
+(no loss scaling needed on TPU); gradient accumulation via optax.MultiSteps;
+loss masking handles the padded pairs that static buckets introduce.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from caster_dta_tpu.data.batching import BucketedLoader, PairBatch
+from caster_dta_tpu.train import checkpoints, metrics as metrics_mod
+from caster_dta_tpu.train.optim import (BATCH_SCHEDULERS, make_optimizer,
+                                        make_scheduler, set_learning_rate)
+
+
+@dataclass
+class TrainConfig:
+    """Reference training constants (train_model.py:392-419)."""
+
+    n_epochs: int = 2000
+    optimizer: str = "adam"
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    scheduler: Optional[str] = "plateau"
+    do_batch_schedule: bool = True
+    warmup_epochs: int = 0
+    early_stop_epochs: int = 200
+    clip_norm: Optional[float] = None
+    grad_accum: int = 1
+    seed: int = 9
+    print_unscaled_loss: bool = True
+    log_every: int = 0           # print per-batch progress if > 0
+
+
+class Trainer:
+    def __init__(self, model, config: TrainConfig, example_batch: PairBatch):
+        self.model = model
+        self.config = config
+        tx = make_optimizer(config.optimizer, config.lr, config.weight_decay)
+        if config.clip_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(config.clip_norm), tx)
+        if config.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum)
+        self.tx = tx
+
+        rng = jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        variables = self.model.init(init_rng, example_batch.protein,
+                                    example_batch.molecule)
+        self.params = variables["params"]
+        self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        self.opt_state = self.tx.init(self.params)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------ steps
+    def _build_train_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch, rng):
+            variables = {"params": params, **self.extra_vars}
+            pred, _ = model.apply(variables, batch.protein, batch.molecule,
+                                  deterministic=False, rngs={"dropout": rng})
+            pred = pred[:, 0]
+            w = batch.weight
+            loss = jnp.sum(w * (pred - batch.target) ** 2) / jnp.maximum(w.sum(), 1.0)
+            return loss, pred
+
+        @jax.jit
+        def step(params, opt_state, batch, rng):
+            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, pred
+
+        return step
+
+    def _build_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def step(params, batch):
+            variables = {"params": params, **self.extra_vars}
+            pred, _ = model.apply(variables, batch.protein, batch.molecule,
+                                  deterministic=True)
+            return pred[:, 0]
+
+        return step
+
+    # ----------------------------------------------------------------- epochs
+    def train_epoch(self, loader: BucketedLoader, lr: float,
+                    scheduler=None, epoch: int = 0, total_train: int = 0,
+                    unscale=None):
+        losses, sizes = [], []
+        n_processed = 0
+        for batch in loader:
+            set_learning_rate(self.opt_state, lr)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, _, pred = self._train_step(
+                self.params, self.opt_state, batch, step_rng)
+            n_real = int(batch.weight.sum())
+            n_processed += n_real
+            pred_np = np.asarray(pred)[batch.weight > 0]
+            target_np = batch.target[batch.weight > 0]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(n_real)
+            if scheduler is not None and total_train:
+                lr = scheduler.step(epoch + n_processed / total_train)
+        return float(np.average(losses, weights=sizes)), lr
+
+    def eval_epoch(self, loader: BucketedLoader, unscale=None):
+        losses, sizes = [], []
+        all_pred, all_target, all_idx = [], [], []
+        for batch in loader:
+            pred = np.asarray(self._eval_step(self.params, batch))
+            mask = batch.weight > 0
+            pred_np, target_np = pred[mask], batch.target[mask]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(int(mask.sum()))
+            all_pred.append(pred_np)
+            all_target.append(target_np)
+            all_idx.append(batch.pair_idx[mask])
+        return (float(np.average(losses, weights=sizes)),
+                np.concatenate(all_pred), np.concatenate(all_target),
+                np.concatenate(all_idx))
+
+
+def split_dataset(dataset, seed: int, split_probs=(0.7, 0.15, 0.15)):
+    """'split' column if present, else seeded random split
+    (reference train_model.py:172-197)."""
+    df = dataset.dataframe
+    if "split" in df.columns:
+        train_idx = df.index[df["split"] == "train"].tolist()
+        val_idx = df.index[df["split"] == "val"].tolist()
+        test_idx = df.index[df["split"] == "test"].tolist()
+        return train_idx, val_idx, test_idx
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(dataset))
+    n_train = int(round(split_probs[0] * len(dataset)))
+    n_val = int(round(split_probs[1] * len(dataset)))
+    return (perm[:n_train].tolist(), perm[n_train:n_train + n_val].tolist(),
+            perm[n_train + n_val:].tolist())
+
+
+def fit(model, dataset, dataset_name: str, output_folder: str,
+        config: TrainConfig, max_num: int, max_batch_size: int,
+        n_epochs: Optional[int] = None, verbose: bool = True,
+        initial_params=None):
+    """Full training run with best-train/val/final checkpointing and early
+    stopping; returns a result dict with test metrics
+    (reference train_model.py:534-802)."""
+    os.makedirs(output_folder, exist_ok=True)
+    n_epochs = n_epochs if n_epochs is not None else config.n_epochs
+
+    train_idx, val_idx, test_idx = split_dataset(dataset, config.seed)
+    mk_loader = lambda idxs, shuffle, seed: BucketedLoader(
+        dataset, idxs, max_num=max_num, max_batch_size=max_batch_size,
+        shuffle=shuffle, seed=seed)
+    train_dl = mk_loader(train_idx, True, config.seed)
+    val_dl = mk_loader(val_idx, False, config.seed + 1)
+    test_dl = mk_loader(test_idx, False, config.seed + 2)
+
+    example = next(iter(train_dl))
+    trainer = Trainer(model, config, example)
+    if initial_params is not None:
+        trainer.params = initial_params
+
+    unscale = dataset.unscale_target if config.print_unscaled_loss else None
+    scheduler = make_scheduler(config.scheduler, config.lr)
+    batch_sched = (scheduler if (config.scheduler in BATCH_SCHEDULERS
+                                 and config.do_batch_schedule) else None)
+
+    best_train, best_val = np.inf, np.inf
+    n_since_best_val = -1
+    lr = config.lr
+    mean_val = np.inf
+    history = []
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        mean_train, lr = trainer.train_epoch(
+            train_dl, lr, scheduler=batch_sched, epoch=epoch,
+            total_train=len(train_idx), unscale=unscale)
+        mean_val, *_ = trainer.eval_epoch(val_dl, unscale=unscale)
+        n_since_best_val += 1
+        marker = ""
+        if mean_train < best_train:
+            best_train = mean_train
+            checkpoints.save_params(trainer.params, os.path.join(
+                output_folder, checkpoints.best_checkpoint_name(
+                    "train", dataset_name, best_train, epoch)))
+            marker += "*"
+        if mean_val < best_val:
+            best_val = mean_val
+            n_since_best_val = 0
+            checkpoints.save_params(trainer.params, os.path.join(
+                output_folder, checkpoints.best_checkpoint_name(
+                    "val", dataset_name, best_val, epoch)))
+            marker += "**"
+        history.append({"epoch": epoch, "lr": lr, "train": mean_train,
+                        "val": mean_val, "time_s": time.time() - t0})
+        if verbose:
+            print(f"E {epoch:<5d} | LR {lr:.2E}  T {mean_train:.4f}  "
+                  f"V {mean_val:.4f}  best {best_train:.4f}/{best_val:.4f} "
+                  f"{marker}  ({history[-1]['time_s']:.1f}s)", flush=True)
+        if n_since_best_val >= config.early_stop_epochs:
+            break
+        if epoch >= config.warmup_epochs and scheduler is not None:
+            if config.scheduler == "plateau":
+                lr = scheduler.step(metric=mean_val)
+            elif batch_sched is None:
+                lr = scheduler.step(epoch - config.warmup_epochs + 1)
+
+    checkpoints.save_params(trainer.params, os.path.join(
+        output_folder, checkpoints.best_checkpoint_name(
+            "final", dataset_name, mean_val, epoch)))
+
+    # test evaluation with the best-val params
+    best = checkpoints.get_best_model(output_folder, "val")
+    trainer.params = checkpoints.load_params(trainer.params, best)
+    _, pred, target, _ = trainer.eval_epoch(test_dl, unscale=dataset.unscale_target)
+    report = metrics_mod.regression_report(pred, target)
+    return {"history": history, "test_metrics": report,
+            "best_val": best_val, "best_train": best_train,
+            "params": trainer.params, "trainer": trainer}

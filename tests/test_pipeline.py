@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests: synthetic PDBs + SMILES -> pair dataset ->
+bucketed loader -> a short training run whose loss decreases."""
+import numpy as np
+import pytest
+
+from caster_dta_tpu.data import synthetic
+from caster_dta_tpu.data.batching import BucketedLoader
+from caster_dta_tpu.data.pairs import ProteinMoleculeDataset
+from caster_dta_tpu.models.joint import make_joint_gnn
+from caster_dta_tpu.train.loop import TrainConfig, fit, split_dataset
+
+DATASET_KWARGS = dict(
+    protein_dist_units="angstroms", protein_edge_thresh=4,
+    protein_thresh_type="dist", protein_keep_selfloops=True,
+    protein_vector_features=True, molecule_include_selfloops=True,
+    scale_output=["standardize"], n_workers=0)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    df = synthetic.make_synthetic_dataframe(str(out), n_proteins=4,
+                                            n_molecules=6, n_pairs=40, seed=0)
+    return ProteinMoleculeDataset(df, **DATASET_KWARGS)
+
+
+def test_dataset_basics(dataset):
+    assert len(dataset) > 10
+    md = dataset.metadata_dict
+    assert md["protein_node_features"] == (17, 3)
+    assert md["protein_edge_features"] == (32, 1)
+    assert md["molecule_node_features"][0] == 41 if isinstance(
+        md["molecule_node_features"], tuple) else md["molecule_node_features"] == 41
+    # standardized targets: ~zero mean, ~unit std
+    assert abs(float(dataset.affinity_data.mean())) < 1e-5
+    assert abs(float(dataset.affinity_data.std(ddof=1)) - 1) < 1e-5
+    # unscale round-trips
+    orig = dataset.unscale_target(dataset.affinity_data)
+    assert orig.min() > 4.0  # synthetic affinities start near 5
+
+
+def test_scaling_roundtrip_composable(tmp_path):
+    df = synthetic.make_synthetic_dataframe(str(tmp_path), n_proteins=2,
+                                            n_molecules=3, n_pairs=10, seed=1)
+    ds = ProteinMoleculeDataset(df, **{**DATASET_KWARGS,
+                                       "scale_output": ["log", "standardize"]})
+    vals = ds.unscale_target(ds.affinity_data)
+    np.testing.assert_allclose(vals, df["affinity_score"].values, rtol=1e-5)
+    # JSON artifact schema round-trip
+    rep = ds._report_scale_data()
+    assert rep["scale_output"] == ["log", "standardize"]
+    ds2 = ProteinMoleculeDataset(df, **{**DATASET_KWARGS, "scale_output": ["standardize"]})
+    ds2._load_scale_data_from_dict(rep)
+    np.testing.assert_allclose(ds2.scale_mean_factor, ds.scale_mean_factor)
+
+
+def test_bucketed_loader_covers_all_pairs(dataset):
+    loader = BucketedLoader(dataset, max_num=200_000, max_batch_size=8,
+                            shuffle=True, seed=0)
+    seen = []
+    for batch in loader:
+        assert batch.protein.node_s.shape[0] == batch.target.shape[0]
+        seen.extend(batch.pair_idx[batch.weight > 0].tolist())
+    assert sorted(seen) == list(range(len(dataset)))
+    # static shapes: every batch from the same bucket has the same shape
+    shapes = {}
+    for batch in loader:
+        shapes.setdefault(batch.bucket, set()).add(
+            (batch.protein.node_s.shape, batch.molecule.node_s.shape))
+    for b, ss in shapes.items():
+        assert len(ss) == 1
+
+
+def test_split_deterministic(dataset):
+    tr1, va1, te1 = split_dataset(dataset, seed=9)
+    tr2, va2, te2 = split_dataset(dataset, seed=9)
+    assert tr1 == tr2 and va1 == va2 and te1 == te2
+    assert len(set(tr1) & set(va1)) == 0
+    assert len(tr1) + len(va1) + len(te1) == len(dataset)
+
+
+def test_training_loss_decreases(dataset, tmp_path):
+    model = make_joint_gnn(
+        dict(base_conv="lbamodel",
+             in_channels=dataset.metadata_dict["protein_node_features"],
+             edge_dim=dataset.metadata_dict["protein_edge_features"],
+             num_ntypes=dataset.metadata_dict["protein_node_types"],
+             num_etypes=dataset.metadata_dict["protein_edge_types"],
+             ntype_emb_dim=None, etype_emb_dim=None, num_convs=1,
+             hidden_channels=(8, 2), edge_hidden_channels=(16, 1),
+             out_channels=16, dropout_rate=0.0, activation="leaky_relu",
+             aggr="sum"),
+        dict(base_conv="gine",
+             in_channels=dataset.metadata_dict["molecule_node_features"],
+             edge_dim=dataset.metadata_dict["molecule_edge_features"],
+             num_ntypes=dataset.metadata_dict["molecule_node_types"],
+             num_etypes=dataset.metadata_dict["molecule_edge_types"],
+             ntype_emb_dim=None, etype_emb_dim=None, num_convs=1,
+             hidden_channels=8, out_channels=16, dropout_rate=0.0,
+             activation="leaky_relu", aggr="sum"),
+        residue_lin_depth=1, atom_lin_depth=1, n_attention_heads=4,
+        attention_dropout=0.0, protein_lin_depth=1, molecule_lin_depth=1,
+        pairwise_embedding_dim=64, out_lin_depth=1, activation="leaky_relu",
+        dropout=0.0, num_cross_attn_layers=1)
+
+    cfg = TrainConfig(n_epochs=40, lr=1e-2, seed=0, early_stop_epochs=60,
+                      scheduler=None, print_unscaled_loss=False)
+    res = fit(model, dataset, "synthetic", str(tmp_path / "out"), cfg,
+              max_num=200_000, max_batch_size=8, verbose=False)
+    first = res["history"][0]["train"]
+    last = min(h["train"] for h in res["history"])
+    assert last < first * 0.7, f"loss did not decrease: {first} -> {last}"
+    assert np.isfinite(res["test_metrics"]["mse"])
+    assert 0.0 <= res["test_metrics"]["concordance_index"] <= 1.0
+    # checkpoints + artifacts exist
+    import os
+    files = os.listdir(tmp_path / "out")
+    assert any(f.startswith("bestvalmodel_") for f in files)
+    assert any(f.startswith("finalmodel_") for f in files)
