@@ -140,7 +140,11 @@ class ProteinMoleculeDataset:
         a = self.affinity_data
         if scale_type == "standardize":
             self.scale_mean_factor = float(np.mean(a))
-            self.scale_std_factor = float(np.std(a, ddof=1))  # torch.std is unbiased
+            std = float(np.std(a, ddof=1))  # torch.std is unbiased
+            # constant targets (e.g. inference cross-products filled with 0.0)
+            # would otherwise produce NaNs; the real factors are re-loaded from
+            # the checkpoint's rescale params in that case
+            self.scale_std_factor = std if std > 0 else 1.0
             self.affinity_data = (a - self.scale_mean_factor) / self.scale_std_factor
         if scale_type == "minmax":
             self.scale_min_factor = float(np.min(a))

@@ -55,13 +55,18 @@ def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
             msgs_ref.at[b, pl.ds(offset, CE), :], msg_vmem, msg_sem)
         c_msg.start()
         c_dst = pltpu.make_async_copy(
-            dst_ref.at[b, pl.ds(offset, CE)], dst_vmem, dst_sem)
+            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem, dst_sem)
         c_dst.start()
         c_dst.wait()
-        onehot = (dst_vmem[...][None, :] == row_ids).astype(jnp.float32)
+        onehot = (dst_vmem[...] == row_ids).astype(jnp.float32)
         c_msg.wait()
+        # HIGHEST precision: default f32 dot lowers to ONE bf16 MXU pass,
+        # which rounds the messages' mantissa (~2^-8 relative error observed
+        # on v5e). The one-hot operand is exact either way; full-precision
+        # passes keep the segment-sum bit-comparable to XLA segment_sum.
         acc_ref[...] += jax.lax.dot(
-            onehot, msg_vmem[...], preferred_element_type=jnp.float32)
+            onehot, msg_vmem[...], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -71,11 +76,13 @@ def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
 def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
                            num_nodes: int) -> jnp.ndarray:
     """messages [B, E, F] f32 (already masked), dst [B, E] sorted -> [B, N, F]."""
-    b, e, f = messages.shape
+    b, e, f_in = messages.shape
+    # Mosaic requires HBM DMA slices 128-aligned on the lane (last) dim
+    f = ((f_in + 127) // 128) * 128
     n_pad = ((num_nodes + BN - 1) // BN) * BN
     nb = n_pad // BN
     e_pad = ((e + CE - 1) // CE) * CE + CE   # slack so aligned DMA stays in range
-    messages = jnp.pad(messages, ((0, 0), (0, e_pad - e), (0, 0)))
+    messages = jnp.pad(messages, ((0, 0), (0, e_pad - e), (0, f - f_in)))
     # keep padded dst in-range but pointing at the last real node row; their
     # messages are zero so the one-hot contribution is zero anyway
     dst = jnp.pad(dst, ((0, 0), (0, e_pad - e)), constant_values=num_nodes - 1)
@@ -97,7 +104,7 @@ def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((BN, f), jnp.float32),
             pltpu.VMEM((CE, f), jnp.float32),
-            pltpu.VMEM((CE,), jnp.int32),
+            pltpu.VMEM((1, CE), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -109,8 +116,8 @@ def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, f), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(block_ptr, dst, messages)
-    return out[:, :num_nodes, :]
+    )(block_ptr, dst[:, None, :], messages)
+    return out[:, :num_nodes, :f_in]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -14,8 +14,15 @@ from typing import Optional
 import optax
 
 
-def make_optimizer(name: str, lr: float, weight_decay: float = 0.0):
-    """Reference optimizer selection (train_model.py:429-451)."""
+def make_optimizer(name: str, lr: float, weight_decay: float = 0.0,
+                   flatten: bool = True):
+    """Reference optimizer selection (train_model.py:429-451).
+
+    flatten=True wraps the transform in optax.flatten: the update runs on one
+    concatenated parameter vector instead of ~150 small leaves. On TPU this
+    removes per-fusion launch overhead that otherwise dominates the step
+    (measured: 5.1ms -> sub-ms full train step for the 764K-param flagship).
+    """
     name = name.lower()
     if name == "adamw":
         tx = optax.inject_hyperparams(optax.adamw)(
@@ -39,6 +46,8 @@ def make_optimizer(name: str, lr: float, weight_decay: float = 0.0):
         tx = optax.inject_hyperparams(optax.sgd)(learning_rate=lr)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
+    if flatten:
+        tx = optax.flatten(tx)
     return tx
 
 
