@@ -62,3 +62,59 @@ def graph_feature_shapes(g: dict):
     es = g["edge_s"].shape[1]
     ev = 0 if g["edge_v"] is None else g["edge_v"].shape[1]
     return (ds, dv), (es, ev)
+
+
+def protein_graph_fused(pdb_file, dist_units, edge_thresh, thresh_type,
+                        keep_self_loops, vectorize_features,
+                        add_esm2_embeds=False, add_residue_posenc=False,
+                        include_aa_props=True):
+    """PDB -> graph dict via the native fused edge kernel (csrc/), skipping
+    the reference's dense n*n edge tensors entirely.
+
+    Node features (O(n)) stay in numpy; edge thresholding + featurization run
+    in C++ emitting COO directly. Returns None when the native library is
+    unavailable so callers can fall back to the dense path.
+    """
+    from caster_dta_tpu.data.featurize import pdb as pdb_feat
+    from caster_dta_tpu.data.featurize import definitions as protein_maps
+    from caster_dta_tpu.data.featurize.protein import compute_residue_node_features
+    from caster_dta_tpu.native import host
+
+    if not host.available():
+        return None
+
+    res_coords, res_names = pdb_feat.load_backbone_coords(pdb_file)
+    if dist_units == "angstroms":
+        res_coords = res_coords * 10
+    elif dist_units != "nanometers":
+        raise ValueError(f"Distance units {dist_units!r} not recognized. "
+                         "Must be 'angstroms' or 'nanometers'")
+    res_1letter = [protein_maps.PROTEIN_3LETTER_1LETTER_MAP[r] for r in res_names]
+    res_idents = [protein_maps.PROTEIN_1LETTER_INT_MAP[r] for r in res_1letter]
+    n = res_coords.shape[0]
+
+    nf = compute_residue_node_features(
+        res_coords, res_idents, vectorize_features, add_esm2_embeds,
+        add_residue_posenc, include_aa_props)
+    src, dst, edge_s, edge_v = host.protein_edges(
+        res_coords[:, 1, :], edge_thresh if edge_thresh is not None else np.inf,
+        thresh_type if edge_thresh is not None else "dist", keep_self_loops)
+
+    if vectorize_features:
+        node_s, node_v = nf
+    else:
+        node_s, node_v = nf, None
+        edge_s = np.concatenate([edge_s, edge_v.reshape(-1, 3)], axis=-1)
+        edge_v = None
+
+    return {
+        "node_s": np.asarray(node_s, np.float32),
+        "node_v": None if node_v is None else np.asarray(node_v, np.float32),
+        "edge_index": np.stack([src, dst]).astype(np.int32),
+        "edge_s": edge_s,
+        "edge_v": edge_v,
+        "node_type": np.asarray(res_idents, np.int32),
+        "edge_type": np.zeros(len(src), np.int32),
+        "n_nodes": int(n),
+        "n_edges": int(len(src)),
+    }

@@ -25,6 +25,13 @@ from caster_dta_tpu.data.featurize import smiles as smiles_feat
 def _protein_file_to_graph(protein_file, dist_units, edge_thresh, thresh_type,
                            keep_self_loops, vectorize_features, add_esm2_embeds,
                            add_residue_posenc, include_aa_props):
+    # native fused path: C++ threshold+featurize emitting COO directly
+    # (csrc/caster_host.cpp), avoiding the dense n*n edge tensors
+    g = build.protein_graph_fused(
+        protein_file, dist_units, edge_thresh, thresh_type, keep_self_loops,
+        vectorize_features, add_esm2_embeds, add_residue_posenc, include_aa_props)
+    if g is not None:
+        return g
     nf, ef, nt, et = pdb_feat.process_pdb(
         protein_file, dist_units, edge_thresh, thresh_type, keep_self_loops,
         vectorize_features, add_esm2_embeds, add_residue_posenc, include_aa_props)

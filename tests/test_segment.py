@@ -1,5 +1,6 @@
 """Segment op correctness vs naive numpy loops (SURVEY.md §4: unit tests for
 each kernel vs reference semantics)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -76,3 +77,30 @@ def test_segment_softmax_sums_to_one(rng):
         for ni in range(n):
             if (mask[bi] & (dst[bi] == ni)).any():
                 np.testing.assert_allclose(sums[bi, ni], 1.0, rtol=1e-5)
+
+
+def test_pallas_dispatch_parity(rng):
+    """Forced-Pallas segment_sum/mean (interpret mode on CPU) matches the XLA
+    path, including 4D vector-channel messages and gradients."""
+    b, e, n = 2, 40, 9
+    msgs3 = rng.normal(size=(b, e, 7)).astype(np.float32)
+    msgs4 = rng.normal(size=(b, e, 4, 3)).astype(np.float32)
+    dst = np.sort(rng.integers(0, n, size=(b, e)), axis=1).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+
+    args3 = (jnp.asarray(msgs3), jnp.asarray(dst), jnp.asarray(mask), n)
+    args4 = (jnp.asarray(msgs4), jnp.asarray(dst), jnp.asarray(mask), n)
+    try:
+        segment.USE_PALLAS = False
+        want3 = np.asarray(segment.segment_sum(*args3))
+        want4 = np.asarray(segment.segment_mean(*args4))
+        gw = jax.grad(lambda m: segment.segment_sum(m, *args3[1:]).sum())(args3[0])
+        segment.USE_PALLAS = True
+        got3 = np.asarray(segment.segment_sum(*args3))
+        got4 = np.asarray(segment.segment_mean(*args4))
+        gg = jax.grad(lambda m: segment.segment_sum(m, *args3[1:]).sum())(args3[0])
+    finally:
+        segment.USE_PALLAS = None
+    np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got4, want4, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=1e-5, atol=1e-5)
