@@ -35,6 +35,11 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: object = None
+    # Pallas blockwise path (ops/pallas_attention.py): computes the output
+    # without materializing [B, H, Lq, Lk] logits — for inference/screening
+    # on very large proteins. Returns weights=None, so only usable where the
+    # caller does not consume attention maps.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None,
@@ -52,6 +57,14 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(b, lq, h, hd).transpose(0, 2, 1, 3)   # [B,H,Lq,hd]
         k = k.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+
+        if self.use_pallas and (self.dropout == 0.0 or deterministic):
+            from caster_dta_tpu.ops.pallas_attention import masked_mha
+
+            out = masked_mha(q, k, v, key_padding_mask)
+            out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
+            out = Dense(e, dtype=self.dtype, name="out_proj")(out)
+            return out, None
 
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if key_padding_mask is not None:

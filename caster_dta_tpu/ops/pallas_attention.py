@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: blockwise masked multi-head attention (flash-style).
+
+The reference's cross-attention densifies to [B, R, A] score matrices through
+``nn.MultiheadAttention`` (joint_gnn.py:321-408); our XLA path
+(nn/attention.py) does the same fused-but-materialized computation. For very
+large residue counts the [B, H, R, A] logit tensor dominates memory — this
+kernel computes attention output blockwise with a running softmax
+(never materializing logits beyond a [BQ, BK] tile), the SURVEY §2.4 plan
+("masked dense attention is blockwise-tiled in Pallas if R×A exceeds VMEM").
+
+Semantics match nn/attention.py exactly: scale 1/sqrt(hd), key padding mask
+adds -1e9 (so a fully-masked row degrades to uniform weights, same as the
+XLA softmax over constant logits), f32 accumulation.
+
+Forward-only by design: it is the inference/screening fast path (the
+training path keeps XLA attention, whose weights the JointGNN API returns
+for interpretability).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128   # query rows per block
+BK = 128   # key rows per chunk
+_NEG = -1e9
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd):
+    # One program = one (batch, query-block): all heads processed here so the
+    # per-program work amortizes grid/launch overhead (hd is small, the MXU
+    # tiles are thin either way). HIGHEST precision keeps the f32 numerics of
+    # the XLA/CPU reference path (default would round through one bf16 pass).
+    nk = lk // BK
+    for head in range(h):
+        q = q_ref[0, head] * scale                 # [BQ, hd]
+
+        m0 = jnp.full((BQ, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((BQ, 1), jnp.float32)
+        acc0 = jnp.zeros((BQ, hd), jnp.float32)
+
+        def body(c, carry):
+            m, l, acc = carry
+            k = k_ref[0, head, pl.ds(c * BK, BK), :]   # [BK, hd]
+            v = v_ref[0, head, pl.ds(c * BK, BK), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [BQ, BK]
+            # 0 = real, 1 = user-masked (-1e9 like the XLA path),
+            # 2 = structural block padding (strictly lower, so a fully
+            # user-masked row still matches XLA's uniform-over-real-keys
+            # degenerate behavior)
+            pad = mask_ref[0, 0, pl.ds(c * BK, BK)]    # [BK] i32
+            s = jnp.where(pad[None, :] == 1, _NEG, s)
+            s = jnp.where(pad[None, :] == 2, 2.0 * _NEG, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+            return m_new, l, acc
+
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+        o_ref[0, head] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mha(q, k, v, pad_mask, interpret=False):
+    b, h, lq, hd = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / float(hd) ** 0.5
+    grid = (b, lq // BQ)
+    kernel = functools.partial(_mha_kernel, scale=scale, h=h, lk=lk, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, hd), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h, BQ, hd), lambda bi, qi: (bi, 0, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, lk, hd), lambda bi, qi: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, lk, hd), lambda bi, qi: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # [B, 1, Lk] so the block's last two dims equal the array's
+                # (Mosaic requires (8,128)-divisible or full-dim blocks)
+                pl.BlockSpec((1, 1, lk), lambda bi, qi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, BQ, hd),
+                                   lambda bi, qi: (bi, 0, qi, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v, pad_mask[:, None, :])
+
+
+def masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               key_padding_mask=None) -> jnp.ndarray:
+    """Blockwise masked attention output.
+
+    q: [B, H, Lq, hd]; k/v: [B, H, Lk, hd]; key_padding_mask: bool [B, Lk]
+    with True marking PADDING keys (torch convention, nn/attention.py:58).
+    Returns [B, H, Lq, hd]. Lq/Lk are padded internally to block multiples
+    (padded keys are masked; padded query rows are dropped).
+    """
+    b, h, lq, hd = q.shape
+    lk = k.shape[2]
+    lq_p = pl.cdiv(lq, BQ) * BQ
+    lk_p = pl.cdiv(lk, BK) * BK
+
+    q = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
+    k = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    v = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    if key_padding_mask is None:
+        pad = jnp.zeros((b, lk), jnp.int32)
+    else:
+        pad = key_padding_mask.astype(jnp.int32)
+    pad = jnp.pad(pad, ((0, 0), (0, lk_p - lk)), constant_values=2)
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = _mha(q, k, v, pad, interpret=interpret)
+    return out[:, :, :lq, :]

@@ -103,7 +103,7 @@ class Trainer:
     # ----------------------------------------------------------------- epochs
     def train_epoch(self, loader: BucketedLoader, lr: float,
                     scheduler=None, epoch: int = 0, total_train: int = 0,
-                    unscale=None):
+                    unscale=None, meter=None):
         losses, sizes = [], []
         n_processed = 0
         for batch in loader:
@@ -113,6 +113,10 @@ class Trainer:
                 self.params, self.opt_state, batch, step_rng)
             n_real = int(batch.weight.sum())
             n_processed += n_real
+            if meter is not None:
+                meter.step(int(np.asarray(batch.protein.edge_mask).sum())
+                           + int(np.asarray(batch.molecule.edge_mask).sum()),
+                           n_real)
             pred_np = np.asarray(pred)[batch.weight > 0]
             target_np = batch.target[batch.weight > 0]
             if unscale is not None:
@@ -187,6 +191,9 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     batch_sched = (scheduler if (config.scheduler in BATCH_SCHEDULERS
                                  and config.do_batch_schedule) else None)
 
+    from caster_dta_tpu.utils.profiling import ThroughputMeter
+    meter = ThroughputMeter()
+
     best_train, best_val = np.inf, np.inf
     n_since_best_val = -1
     lr = config.lr
@@ -196,7 +203,7 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
         t0 = time.time()
         mean_train, lr = trainer.train_epoch(
             train_dl, lr, scheduler=batch_sched, epoch=epoch,
-            total_train=len(train_idx), unscale=unscale)
+            total_train=len(train_idx), unscale=unscale, meter=meter)
         mean_val, *_ = trainer.eval_epoch(val_dl, unscale=unscale)
         n_since_best_val += 1
         marker = ""
@@ -214,7 +221,8 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
                     "val", dataset_name, best_val, epoch)))
             marker += "**"
         history.append({"epoch": epoch, "lr": lr, "train": mean_train,
-                        "val": mean_val, "time_s": time.time() - t0})
+                        "val": mean_val, "time_s": time.time() - t0,
+                        "edges_per_s": meter.edges_per_s})
         if verbose:
             print(f"E {epoch:<5d} | LR {lr:.2E}  T {mean_train:.4f}  "
                   f"V {mean_val:.4f}  best {best_train:.4f}/{best_val:.4f} "
@@ -238,4 +246,5 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     report = metrics_mod.regression_report(pred, target)
     return {"history": history, "test_metrics": report,
             "best_val": best_val, "best_train": best_train,
+            "throughput": meter.summary(),
             "params": trainer.params, "trainer": trainer}
