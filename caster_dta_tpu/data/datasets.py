@@ -130,6 +130,65 @@ def load_bindingdb(data_root: str, task: str = "kd", structures_dir=None,
     return _affinity_to_dataframe(proteins, ligands, pivot.values, structures_dir)
 
 
+# BELKA's three fixed targets (public sequences; reference
+# load_data.py:268-273 hard-codes the same) and their known structures.
+BELKA_PROTEINS = OrderedDict([
+    ("BRD4", "GPMEQLKCCSGILKEMFAKKHAAYAWPFYKPVDVEALGLHDYCDIIKHPMDMSTIKSKLE"
+             "AREYRDAQEFGADVRLMFSNCYKYNPPDHEVVAMARKLQDVFEMRFAKM"),
+    ("HSA", "DAHKSEVAHRFKDLGEENFKALVLIAFAQYLQQCPFEDHVKLVNEVTEFAKTCVADESAENC"
+            "DKSLHTLFGDKLCTVATLRETYGEMADCCAKQEPERNECFLQHKDDNPNLPRLVRPEVDVMC"
+            "TAFHDNEETFLKKYLYEIARRHPYFYAPELLFFAKRYKAAFTECCQAADKAACLLPKLDELR"
+            "DEGKASSAKQRLKCASLQKFGERAFKAWAVARLSQRFPKAEFAEVSKLVTDLTKVHTECCHG"
+            "DLLECADDRADLAKYICENQDSISSKLKECCEKPLLEKSHCIAEVENDEMPADLPSLAADFV"
+            "ESKDVCKNYAEAKDVFLGMFLYEYARRHPDYSVVLLLRLAKTYETTLEKCCAAADPHECYAK"
+            "VFDEFKPLVEEPQNLIKQNCELFEQLGEYKFQNALLVRYTKKVPQVSTPTLVEVSRNLGKVG"
+            "SKCCKHPEAKRMPCAEDYLSVVLNQLCVLHEKTPVSDRVTKCCTESLVNRRPCFSALEVDET"
+            "YVPKEFNAETFTFHADICTLSEKERQIKKQTALVELVKHKPKATKEQLKAVMDDFAAFVEKC"
+            "CKADDKETCFAEEGKKLVAASQAALGL"),
+    ("sEH", "MTLRAAVFDLDGVLALPAVFGVLGRTEEALALPRGLLNDAFQKGGPEGATTRLMKGEITLSQ"
+            "WIPLMEENCRKCSETAKVCLPKNFSIKEIFDKAISARKINRPMLQAALMLRKKGFTTAILTN"
+            "TWLDDRAERDGLAQLMCELKMHFDFLIESCQVGMVKPEPQIYKFLLDTLKASPSEVVFLDDI"
+            "GANLKPARDLGMVTILVQDTDTALKELEKVTGIQLLNTPAPLPTSCNPSDMSHGYVTVKPRV"
+            "RLHFVELGSGPAVCLCHGFPESWYSWRYQIPALAQAGYRVLAMDMKGYGESSAPPEIEEYCM"
+            "EVLCKEMVTFLDKLGLSQAVFIGHDWGGMLVWYMALFYPERVRAVASLNTPFIPANPNMSPL"
+            "ESIKANPVFDYQLYFQEPGVAEAELEQNLSRTFKSLFRASDESVLSMHKVCEAGGLFVNSPE"
+            "EPSLSRMVTEEEIQFYVQQFKKSGFRGPLNWYRNMERNWKWACKSLGRKILIPALMVTAEKD"
+            "FVLVPQMSQHMEDWIPHLKRGHIEDCGHWTQMDKPTEVNQILIKWLDSDARNPPVVSKM"),
+])
+BELKA_KNOWN_PDB_IDS = {"BRD4": "7USK", "HSA": "1AO6", "sEH": "3i28"}
+
+
+def load_belka(data_root: str, structures_dir=None,
+               affinity_fname: str = "train.parquet"):
+    """Leash BELKA binary-binding dataset (reference load_data.py:254-344):
+    parquet of (molecule_smiles, protein_name, binds) against 3 fixed
+    targets, SMILES-validated, pivoted to a ligand x protein matrix, then
+    long-form canonical rows. Parsed results are pickled beside the parquet
+    for resumability, mirroring the reference's cache files."""
+    path = os.path.join(data_root, "belka")
+    fp = os.path.join(path, affinity_fname)
+    if not os.path.exists(fp):
+        raise FileNotFoundError(f"Could not locate BELKA affinity file {fp}")
+
+    cache_piv = os.path.join(path, f"{affinity_fname}_parsed_pivot.pkl")
+    if os.path.exists(cache_piv):
+        pivot = pd.read_pickle(cache_piv)
+    else:
+        df = pd.read_parquet(fp)[["molecule_smiles", "protein_name", "binds"]]
+        df = df[df["molecule_smiles"].map(validate_smiles)]
+        pivot = df.pivot(index="molecule_smiles", columns="protein_name",
+                         values="binds")
+        pivot = pivot[[c for c in BELKA_PROTEINS if c in pivot.columns]]
+        pivot.to_pickle(cache_piv)
+
+    sha = lambda s: hashlib.sha1(s.encode()).hexdigest()
+    ligands = OrderedDict((f"belka__{sha(s)}", s) for s in pivot.index)
+    proteins = OrderedDict((k, BELKA_PROTEINS[k]) for k in pivot.columns)
+    return _affinity_to_dataframe(proteins, ligands,
+                                  pivot.values.astype(np.float64),
+                                  structures_dir)
+
+
 def apply_mostcommon_filter(df: pd.DataFrame, thresh: float = 0.1) -> pd.DataFrame:
     """Downsample overrepresented filler values (load_data.py:347-356; e.g.
     Davis' 75% filler 5.0)."""
@@ -171,6 +230,9 @@ def load_dataset(dataset_name: str, data_root: str = "./data",
         task = name.split("_")[-1] if "_" in name else "kd"
         df = load_bindingdb(os.path.join(data_root, "other_data"), task,
                             structures_dir)
+    elif "belka" in name:
+        df = load_belka(os.path.join(data_root, "belka_data"), structures_dir,
+                        **kwargs)
     elif name == "plinder":
         from caster_dta_tpu.data.plinder import parse_plinder
         df = parse_plinder(os.path.join(data_root, "plinder_data"), **kwargs)

@@ -1,0 +1,91 @@
+"""Dataset registry loaders against synthetic on-disk fixtures
+(data/datasets.py; behavioral spec reference dataset/load_data.py)."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from caster_dta_tpu.data import datasets
+
+
+SMILES = ["CCO", "CCN", "c1ccccc1", "CC(=O)O"]
+
+
+def test_davis_format_loader(tmp_path):
+    d = tmp_path / "deepdta" / "davis"
+    d.mkdir(parents=True)
+    prots = {"P1": "ACDEFGHIKL", "P2": "MNPQRSTVWY"}
+    ligs = {"L1": "CCO", "L2": "CCN", "L3": "c1ccccc1"}
+    json.dump(prots, open(d / "proteins.txt", "w"))
+    json.dump(ligs, open(d / "ligands_iso.txt", "w"))
+    y = np.array([[5.0, np.nan], [7.2, 6.1], [np.nan, 8.3]])
+    with open(d / "Y", "wb") as f:
+        pickle.dump(y, f)
+    df = datasets.load_davis_kiba("davis", str(tmp_path / "deepdta"))
+    assert len(df) == 4  # NaN cells dropped
+    assert set(df.columns) >= {"protein_id", "protein_sequence", "protein_file",
+                               "molecule_id", "molecule_smiles", "affinity_score"}
+    row = df[(df.molecule_id == "L2") & (df.protein_id == "P2")]
+    assert float(row.affinity_score.iloc[0]) == 6.1
+
+
+def test_bindingdb_loader(tmp_path):
+    d = tmp_path / "other" / "bindingdb"
+    d.mkdir(parents=True)
+    rows = []
+    for i, (smi, kd) in enumerate(zip(SMILES, [10.0, 100.0, 1000.0, 10.0])):
+        rows.append({"BindingDB Ligand Name": f"lig{i}", "Ligand SMILES": smi,
+                     "Target Name": "targ", "BindingDB Target Chain Sequence":
+                     "ACDEFGHIKLMNPQRSTVWYACDEFGHIKL", "Kd (nM)": kd})
+    # duplicate pair -> averaged
+    rows.append(dict(rows[0], **{"Kd (nM)": 1000.0}))
+    pd.DataFrame(rows).to_csv(d / "BindingDB_All.tsv", sep="\t", index=False)
+    df = datasets.load_bindingdb(str(tmp_path / "other"))
+    assert len(df) == 4
+    got = df[df.molecule_smiles == "CCO"].affinity_score.iloc[0]
+    want = np.mean([-np.log10(10.0 / 1e9), -np.log10(1000.0 / 1e9)])
+    np.testing.assert_allclose(got, want)
+    # hash-suffixed ids
+    assert df.protein_id.str.contains("__").all()
+
+
+def test_belka_loader(tmp_path):
+    d = tmp_path / "belka_data" / "belka"
+    d.mkdir(parents=True)
+    rows = []
+    for smi, binds in zip(SMILES, [0, 1, 0, 1]):
+        for prot in ("BRD4", "HSA", "sEH"):
+            rows.append({"molecule_smiles": smi, "protein_name": prot,
+                         "binds": binds})
+    pd.DataFrame(rows).to_parquet(d / "train.parquet")
+    df = datasets.load_dataset("belka", data_root=str(tmp_path))
+    assert len(df) == 12
+    assert set(df.protein_id) == {"BRD4", "HSA", "sEH"}
+    assert set(df.affinity_score) == {0.0, 1.0}
+    assert df.protein_sequence.str.len().min() > 100
+    # cache file written; second load hits it
+    assert os.path.exists(d / "train.parquet_parsed_pivot.pkl")
+    df2 = datasets.load_dataset("belka", data_root=str(tmp_path))
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_mostcommon_filter():
+    df = pd.DataFrame({"affinity_score": [5.0] * 80 + [6.1, 7.2] * 10})
+    out = datasets.apply_mostcommon_filter(df)
+    assert 5.0 not in set(out.affinity_score)
+    assert len(out) == 20
+
+
+def test_proteinseqdupe_filter():
+    df = pd.DataFrame({
+        "protein_id": ["a", "b", "c"],
+        "protein_sequence": ["AAAA", "AAAA", "CCCC"],
+        "molecule_id": ["m", "m", "m"],
+        "molecule_smiles": ["CCO"] * 3,
+        "protein_file": [""] * 3,
+        "affinity_score": [1.0, 2.0, 3.0]})
+    out = datasets.apply_proteinseqdupe_filter(df)
+    assert len(out["protein_sequence"].unique()) == len(out)
