@@ -44,3 +44,39 @@ def shard_pair_batch(batch, mesh: Mesh, axis_name: str = "dp"):
 def replicate_params(params, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host process setup (SURVEY §2.4 plan: jax.distributed + XLA
+    collectives over ICI/DCN).
+
+    On TPU pods the three arguments are auto-detected from the environment;
+    pass them explicitly for CPU/GPU clusters. Call once per process before
+    any jax computation; afterwards jax.devices() spans all hosts and the
+    meshes built here scale across the pod.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_2d_mesh(n_dp: int, n_gp: int):
+    """Combined mesh: data parallelism x graph partitioning. Batches shard
+    over 'dp', giant protein graphs edge-partition over 'gp'
+    (parallel/partition.py); collectives for each axis ride disjoint ICI
+    rings."""
+    devs = jax.devices()
+    if n_dp * n_gp > len(devs):
+        raise ValueError(f"mesh {n_dp}x{n_gp} needs {n_dp * n_gp} devices, "
+                         f"have {len(devs)}")
+    arr = np.asarray(devs[: n_dp * n_gp]).reshape(n_dp, n_gp)
+    return Mesh(arr, ("dp", "gp"))
