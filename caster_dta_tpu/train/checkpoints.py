@@ -96,3 +96,25 @@ def param_summary(params) -> str:
         lines.append(f"{jax.tree_util.keystr(path):80s} {str(leaf.shape):20s} {n:>10d}")
     lines.append(f"{'TOTAL':80s} {'':20s} {total:>10d}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------- orbax
+# For multi-host / sharded training (parallel/mesh.py) the msgpack path
+# would gather everything to host 0; orbax writes each shard from its owner
+# process and restores with the target sharding. Optional — the artifact
+# contract above stays the reference-compatible default.
+
+def save_params_orbax(params, path: str) -> None:
+    """Sharded checkpoint write via orbax (directory target)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(template, path: str):
+    """Restore with the template's structure/sharding."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)

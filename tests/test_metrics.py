@@ -61,3 +61,18 @@ def test_warm_restart_decay_cycles():
     assert near_end < 0.01                        # cosine bottom
     restart = s.step(10.0)                        # cycle 1 restarts at decayed base
     assert abs(restart - 0.5) < 1e-6
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import os
+    import jax
+    import jax.numpy as jnp
+    from caster_dta_tpu.train import checkpoints as C
+
+    params = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "b": jnp.ones(4)}
+    p = os.path.join(str(tmp_path), "ck")
+    C.save_params_orbax(params, p)
+    tpl = jax.tree_util.tree_map(jnp.zeros_like, params)
+    got = C.load_params_orbax(tpl, p)
+    np.testing.assert_array_equal(np.asarray(got["a"]["w"]),
+                                  np.asarray(params["a"]["w"]))
