@@ -39,10 +39,15 @@ def _ladder(value: int, ladder: Sequence[int]) -> int:
 
 
 # node ladders sized for proteins (<=3000 residues, load_data.py:218-222 cap)
-# and drug-like molecules; edge ladders grow geometrically.
+# and drug-like molecules; edge ladders grow geometrically. Molecule rungs
+# are deliberately coarse: the molecule tower's cost is negligible next to
+# the protein tower, but every distinct (n_p, e_p, n_m, e_m) combination is
+# one more XLA executable to compile — fine molecule rungs multiplied bucket
+# counts 4-6x for no measurable step-time gain.
 PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
-MOLECULE_NODE_LADDER = (16, 32, 48, 64, 96, 128, 192, 256)
+MOLECULE_NODE_LADDER = (48, 128, 256)
 EDGE_LADDER = tuple(2 ** k for k in range(4, 21))
+MOLECULE_EDGE_LADDER = (256, 1024, 4096)
 
 
 @struct.dataclass
@@ -72,7 +77,10 @@ class BucketedLoader:
                  include_nodepair: bool = True,
                  protein_node_ladder=PROTEIN_NODE_LADDER,
                  molecule_node_ladder=MOLECULE_NODE_LADDER,
-                 edge_ladder=EDGE_LADDER):
+                 edge_ladder=EDGE_LADDER,
+                 molecule_edge_ladder=MOLECULE_EDGE_LADDER,
+                 coalesce: bool = True,
+                 coalesce_min_batches: int = 4):
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None
                                   else np.arange(len(dataset)))
@@ -84,6 +92,7 @@ class BucketedLoader:
         self.p_ladder = protein_node_ladder
         self.m_ladder = molecule_node_ladder
         self.e_ladder = edge_ladder
+        self.me_ladder = molecule_edge_ladder
 
         # per-pair bucket assignment (precomputed once)
         self._bucket_of = {}
@@ -92,9 +101,42 @@ class BucketedLoader:
             b = (_ladder(pg["n_nodes"], self.p_ladder),
                  _ladder(pg["n_edges"], self.e_ladder),
                  _ladder(mg["n_nodes"], self.m_ladder),
-                 _ladder(mg["n_edges"], self.e_ladder))
+                 _ladder(mg["n_edges"], self.me_ladder))
             self._bucket_of[int(i)] = b
+        self._coalesce_min_batches = coalesce_min_batches
+        if coalesce:
+            self._coalesce_buckets()
         self._pad_cache: dict = {}
+
+    def _coalesce_buckets(self) -> None:
+        """Merge buckets holding fewer than coalesce_min_batches full batches
+        into the cheapest strictly-covering bucket.
+
+        Every distinct bucket shape costs one XLA compile (per train/eval
+        step); the ladder cross-product leaves a long tail of few-batch
+        shapes whose compile time dwarfs their padding savings. Deterministic
+        (sorted iteration)."""
+        def cost(b):
+            return b[1] + b[3] + b[0] * b[2]
+
+        while True:
+            groups = self.buckets()
+            merged = False
+            for b, idxs in sorted(groups.items()):
+                if len(idxs) >= (self.bucket_batch_size(b)
+                                 * self._coalesce_min_batches):
+                    continue
+                cands = [c for c in groups
+                         if c != b and all(ci >= bi for ci, bi in zip(c, b))]
+                if not cands:
+                    continue
+                target = min(cands, key=cost)
+                for i in idxs:
+                    self._bucket_of[i] = target
+                merged = True
+                break
+            if not merged:
+                return
 
     def bucket_batch_size(self, bucket) -> int:
         n_p, e_p, n_m, e_m = bucket
@@ -109,7 +151,9 @@ class BucketedLoader:
             out.setdefault(b, []).append(i)
         return out
 
-    def __iter__(self) -> Iterator[PairBatch]:
+    def iter_index_batches(self):
+        """Yield (bucket, pair_indices) groups in epoch order (shared by the
+        host-assembly path below and the device-resident loader)."""
         order = self.indices.copy()
         if self.shuffle:
             self.rng.shuffle(order)
@@ -119,12 +163,16 @@ class BucketedLoader:
             q = queues.setdefault(b, [])
             q.append(int(i))
             if len(q) >= self.bucket_batch_size(b):
-                yield self._assemble(b, q)
+                yield b, q
                 queues[b] = []
         # flush partial batches (padded to the bucket's batch size)
         for b, q in queues.items():
             if q:
-                yield self._assemble(b, q)
+                yield b, q
+
+    def __iter__(self) -> Iterator[PairBatch]:
+        for b, q in self.iter_index_batches():
+            yield self._assemble(b, q)
 
     def __len__(self):
         n = 0
@@ -153,12 +201,17 @@ class BucketedLoader:
         full_idxs = list(idxs) + [idxs[-1]] * (bs - len(idxs))
 
         prots, mols, targets = [], [], []
+        n_edges = 0
         for i in full_idxs:
             pg, mg, target = self.dataset[i]
             pid, mid = self.dataset.pair_indices[i]
             prots.append(self._padded_graph("p", pid, pg, n_p, e_p))
             mols.append(self._padded_graph("m", mid, mg, n_m, e_m))
             targets.append(target)
+        for i in idxs:
+            pg, mg, _ = self.dataset[i]
+            n_edges += int(pg["n_edges"]) + int(mg["n_edges"])
+        self.last_batch_edges = n_edges
         return PairBatch(
             protein=stack_graphs(prots),
             molecule=stack_graphs(mols),

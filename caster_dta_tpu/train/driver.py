@@ -72,6 +72,28 @@ def default_model_kwargs(metadata: dict):
     return protein_gnn_kwargs, molecule_gnn_kwargs, joint_gnn_kwargs
 
 
+def generate_missing_structures(data_df: pd.DataFrame,
+                                structures_dir: str) -> pd.DataFrame:
+    """Write placeholder helix-backbone PDBs for proteins lacking a structure
+    file and point protein_file at them.
+
+    Offline stand-in for the acquisition layer (data/acquire.py): geometry is
+    synthetic, but sequences/ligands/affinities are the real dataset, so the
+    full pipeline (featurize -> bucket -> train) runs end-to-end.
+    """
+    from caster_dta_tpu.data.synthetic import helix_backbone, write_pdb
+
+    os.makedirs(structures_dir, exist_ok=True)
+    df = data_df.copy()
+    rng = np.random.default_rng(0)
+    for pid, seq in df[["protein_id", "protein_sequence"]].drop_duplicates().values:
+        path = os.path.join(structures_dir, f"{pid}.pdb")
+        if not os.path.exists(path):
+            write_pdb(path, helix_backbone(len(seq), rng), seq)
+        df.loc[df["protein_id"] == pid, "protein_file"] = path
+    return df
+
+
 def build_or_load_dataset(data_df: pd.DataFrame, cache_dir: str,
                           dataset_kwargs: dict, n_workers=None):
     """Dataset build with hash-keyed caching (train_model.py:132-149)."""
@@ -105,14 +127,36 @@ def main(argv=None):
                    help="directory of pre-downloaded {protein_id}.pdb files")
     p.add_argument("--n-epochs", type=int, default=2000)
     p.add_argument("--n-workers", type=int, default=None)
+    p.add_argument("--synthetic-structures", action="store_true",
+                   help="generate placeholder helix-backbone PDBs for "
+                        "proteins without a structure file (offline/e2e "
+                        "testing without the acquisition layer)")
     args = p.parse_args(argv)
+
+    # persistent XLA compilation cache: per-bucket executables survive across
+    # runs (first Davis run compiles ~10 bucket shapes; reruns start hot)
+    import jax
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "caster_dta_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     os.makedirs(args.out_folder, exist_ok=True)
     print(f"Using dataset: {args.dataset}\nUsing seed: {args.seed}\n"
           f"Output folder: {args.out_folder}", flush=True)
 
-    data_df = load_dataset(args.dataset, data_root=args.data_root,
-                           structures_dir=args.structures_dir)
+    if args.synthetic_structures:
+        if not args.structures_dir:
+            raise SystemExit("--synthetic-structures requires --structures-dir")
+        # load without the missing-structure drop, then synthesize backbones
+        data_df = load_dataset(args.dataset, data_root=args.data_root,
+                               structures_dir=None)
+        data_df = generate_missing_structures(data_df, args.structures_dir)
+    else:
+        data_df = load_dataset(args.dataset, data_root=args.data_root,
+                               structures_dir=args.structures_dir)
     dataset_kwargs = dict(DEFAULT_DATASET_KWARGS)
     cache_dir = args.structures_dir or os.path.join(args.data_root, "cache")
     dataset = build_or_load_dataset(data_df, cache_dir, dataset_kwargs,

@@ -43,6 +43,10 @@ class TrainConfig:
     seed: int = 9
     print_unscaled_loss: bool = True
     log_every: int = 0           # print per-batch progress if > 0
+    # device-resident graph store (data/device_cache.py): upload dedup'd
+    # padded graphs once, assemble batches with on-device gathers. None
+    # disables; otherwise the HBM byte budget for the stores.
+    device_data_budget: Optional[int] = 4_000_000_000
 
 
 class Trainer:
@@ -119,9 +123,11 @@ class Trainer:
             n_real = int(batch.weight.sum())
             n_processed += n_real
             if meter is not None:
-                meter.step(int(np.asarray(batch.protein.edge_mask).sum())
-                           + int(np.asarray(batch.molecule.edge_mask).sum()),
-                           n_real)
+                n_edges = getattr(loader, "last_batch_edges", None)
+                if n_edges is None:  # fall back to a device sync
+                    n_edges = (int(np.asarray(batch.protein.edge_mask).sum())
+                               + int(np.asarray(batch.molecule.edge_mask).sum()))
+                meter.step(n_edges, n_real)
             pred_np = np.asarray(pred)[batch.weight > 0]
             target_np = batch.target[batch.weight > 0]
             if unscale is not None:
@@ -179,9 +185,16 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     n_epochs = n_epochs if n_epochs is not None else config.n_epochs
 
     train_idx, val_idx, test_idx = split_dataset(dataset, config.seed)
-    mk_loader = lambda idxs, shuffle, seed: BucketedLoader(
-        dataset, idxs, max_num=max_num, max_batch_size=max_batch_size,
-        shuffle=shuffle, seed=seed)
+
+    def mk_loader(idxs, shuffle, seed):
+        dl = BucketedLoader(dataset, idxs, max_num=max_num,
+                            max_batch_size=max_batch_size,
+                            shuffle=shuffle, seed=seed)
+        if config.device_data_budget is not None:
+            from caster_dta_tpu.data.device_cache import DeviceResidentLoader
+            dl = DeviceResidentLoader.maybe(dl, config.device_data_budget)
+        return dl
+
     train_dl = mk_loader(train_idx, True, config.seed)
     val_dl = mk_loader(val_idx, False, config.seed + 1)
     test_dl = mk_loader(test_idx, False, config.seed + 2)

@@ -117,3 +117,34 @@ def test_training_loss_decreases(dataset, tmp_path):
     files = os.listdir(tmp_path / "out")
     assert any(f.startswith("bestvalmodel_") for f in files)
     assert any(f.startswith("finalmodel_") for f in files)
+
+
+def test_device_resident_loader_parity(dataset):
+    """Device-side gather assembly must produce the same batches as host
+    assembly (same epoch order, same graph tensors, same coverage)."""
+    from caster_dta_tpu.data.device_cache import DeviceResidentLoader
+
+    mk = lambda: BucketedLoader(dataset, None, max_num=200_000,
+                                max_batch_size=8, shuffle=True, seed=3)
+    host_dl = mk()
+    dev_dl = DeviceResidentLoader(mk())
+    seen = []
+    for hb, db in zip(host_dl, dev_dl):
+        np.testing.assert_array_equal(hb.pair_idx, db.pair_idx)
+        np.testing.assert_array_equal(hb.weight, db.weight)
+        np.testing.assert_allclose(hb.target, db.target, rtol=1e-6)
+        for field in ("node_s", "node_v", "edge_src", "edge_dst", "edge_s",
+                      "edge_v", "node_type", "edge_type", "node_mask",
+                      "edge_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(db.protein, field)),
+                np.asarray(getattr(hb.protein, field)), err_msg=f"p.{field}")
+            np.testing.assert_array_equal(
+                np.asarray(getattr(db.molecule, field)),
+                np.asarray(getattr(hb.molecule, field)), err_msg=f"m.{field}")
+        assert dev_dl.last_batch_edges == host_dl.last_batch_edges
+        seen.extend(db.pair_idx[db.weight > 0].tolist())
+    assert sorted(seen) == list(range(len(dataset)))
+    assert DeviceResidentLoader.estimate_store_bytes(mk()) > 0
+    # budget fallback returns the raw loader
+    assert isinstance(DeviceResidentLoader.maybe(mk(), 10), BucketedLoader)
