@@ -23,8 +23,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caster_dta_tpu.data.batching import BucketedLoader, PairBatch
+from flax import struct
+
+from caster_dta_tpu.data.batching import BucketedLoader
 from caster_dta_tpu.data.graphs import GraphBatch, stack_graphs
+
+
+@struct.dataclass
+class StoreBatch:
+    """A batch as (device-resident stores + row indices).
+
+    Drop-in for PairBatch in the train/eval steps: ``.protein``/``.molecule``
+    gather store rows, and because the whole StoreBatch is the jitted step's
+    argument, those gathers trace *inside* the step — one executable launch
+    per batch, regardless of how many graph fields exist (per-launch
+    overhead is severe over a remote-device tunnel). The store leaves are
+    the same device buffers every call, so nothing re-uploads; rows, target
+    and weight are small host arrays bundled into the call.
+    """
+
+    p_store: GraphBatch     # [P, ...] device-resident
+    m_store: GraphBatch     # [M, ...]
+    p_rows: np.ndarray      # i32 [B] host
+    m_rows: np.ndarray      # i32 [B] host
+    target: np.ndarray      # f32 [B] host
+    weight: np.ndarray      # f32 [B] host
+    pair_idx: np.ndarray    # i32 [B] host
+
+    @property
+    def protein(self) -> GraphBatch:
+        return jax.tree_util.tree_map(lambda a: a[self.p_rows], self.p_store)
+
+    @property
+    def molecule(self) -> GraphBatch:
+        return jax.tree_util.tree_map(lambda a: a[self.m_rows], self.m_store)
 
 
 def _graph_nbytes(n_pad, e_pad, ds, dv, es, ev) -> int:
@@ -123,15 +155,12 @@ class DeviceResidentLoader:
                                  for i in full], np.int32)
             m_rows = np.asarray([self._m_rows[b][ds.pair_indices[i][1]]
                                  for i in full], np.int32)
-            take_p = jnp.asarray(p_rows)
-            take_m = jnp.asarray(m_rows)
-            protein = jax.tree_util.tree_map(lambda a: a[take_p], self._p_store[b])
-            molecule = jax.tree_util.tree_map(lambda a: a[take_m], self._m_store[b])
             target = np.asarray([ds.affinity_data[i] for i in full], np.float32)
             # host-side real-edge count for throughput metering (avoids a
             # device sync on the edge_mask)
             self.last_batch_edges = sum(
                 self._n_edges[("p", ds.pair_indices[i][0])]
                 + self._n_edges[("m", ds.pair_indices[i][1])] for i in idxs)
-            yield PairBatch(protein=protein, molecule=molecule, target=target,
-                            weight=weight, pair_idx=np.asarray(full, np.int32))
+            yield StoreBatch(p_store=self._p_store[b], m_store=self._m_store[b],
+                             p_rows=p_rows, m_rows=m_rows, target=target,
+                             weight=weight, pair_idx=np.asarray(full, np.int32))

@@ -23,6 +23,10 @@ from flax import serialization
 
 
 def save_params(params, path: str) -> None:
+    # one batched D2H (jax.device_get) instead of per-leaf transfers inside
+    # msgpack serialization — leaf-at-a-time round trips are slow on
+    # remote-device backends
+    params = jax.device_get(params)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(params))
 

@@ -148,3 +148,42 @@ def test_device_resident_loader_parity(dataset):
     assert DeviceResidentLoader.estimate_store_bytes(mk()) > 0
     # budget fallback returns the raw loader
     assert isinstance(DeviceResidentLoader.maybe(mk(), 10), BucketedLoader)
+
+
+def test_training_reproducible(dataset, tmp_path):
+    """Same seed -> identical loss history (seeding story, SURVEY §7)."""
+    from caster_dta_tpu.models.joint import make_joint_gnn
+
+    def mk_model():
+        md = dataset.metadata_dict
+        return make_joint_gnn(
+            dict(base_conv="lbamodel", in_channels=md["protein_node_features"],
+                 edge_dim=md["protein_edge_features"],
+                 num_ntypes=md["protein_node_types"],
+                 num_etypes=md["protein_edge_types"], ntype_emb_dim=None,
+                 etype_emb_dim=None, num_convs=1, hidden_channels=(8, 2),
+                 edge_hidden_channels=(16, 1), out_channels=16,
+                 dropout_rate=0.1, activation="leaky_relu", aggr="sum"),
+            dict(base_conv="gine", in_channels=md["molecule_node_features"],
+                 edge_dim=md["molecule_edge_features"],
+                 num_ntypes=md["molecule_node_types"],
+                 num_etypes=md["molecule_edge_types"], ntype_emb_dim=None,
+                 etype_emb_dim=None, num_convs=1, hidden_channels=8,
+                 out_channels=16, dropout_rate=0.1, activation="leaky_relu",
+                 aggr="sum"),
+            residue_lin_depth=1, atom_lin_depth=1, n_attention_heads=4,
+            attention_dropout=0.0, protein_lin_depth=1, molecule_lin_depth=1,
+            pairwise_embedding_dim=64, out_lin_depth=1, out_lin_factor=0.5,
+            out_lin_norm_type=None, activation="leaky_relu", dropout=0.1,
+            element_pooling="mean", include_residual_stream=False,
+            residual_dim_ff_scale=2, num_cross_attn_layers=1,
+            include_post_pool_layernorm=False)
+
+    cfg = TrainConfig(seed=5, scheduler=None, n_epochs=2,
+                      print_unscaled_loss=False)
+    h1 = fit(mk_model(), dataset, "synthetic", str(tmp_path / "a"), cfg,
+             max_num=200_000, max_batch_size=8, verbose=False)["history"]
+    h2 = fit(mk_model(), dataset, "synthetic", str(tmp_path / "b"), cfg,
+             max_num=200_000, max_batch_size=8, verbose=False)["history"]
+    assert [e["train"] for e in h1] == [e["train"] for e in h2]
+    assert [e["val"] for e in h1] == [e["val"] for e in h2]
