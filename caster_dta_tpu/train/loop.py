@@ -227,6 +227,25 @@ def split_dataset(dataset, seed: int, split_probs=(0.7, 0.15, 0.15)):
             perm[n_train + n_val:].tolist())
 
 
+def split_leakage_report(dataset, train_idx, val_idx, test_idx) -> dict:
+    """Per-split protein/molecule usage counts and cross-split entity overlap
+    (behavioral equivalent of the reference's leakage inspection,
+    train_model.py:807-824, which builds per-split {entity: count} dicts)."""
+    splits = {"train": train_idx, "val": val_idx, "test": test_idx}
+    ents = {name: (set(dataset.pair_indices[i][0] for i in idxs),
+                   set(dataset.pair_indices[i][1] for i in idxs))
+            for name, idxs in splits.items()}
+    report = {name: {"n_pairs": len(splits[name]),
+                     "n_proteins": len(p), "n_molecules": len(m)}
+              for name, (p, m) in ents.items()}
+    overlap = {}
+    for a, b in (("train", "val"), ("train", "test"), ("val", "test")):
+        overlap[f"{a}_{b}_proteins"] = len(ents[a][0] & ents[b][0])
+        overlap[f"{a}_{b}_molecules"] = len(ents[a][1] & ents[b][1])
+    report["overlap"] = overlap
+    return report
+
+
 def fit(model, dataset, dataset_name: str, output_folder: str,
         config: TrainConfig, max_num: int, max_batch_size: int,
         n_epochs: Optional[int] = None, verbose: bool = True,
@@ -256,6 +275,12 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     trainer = Trainer(model, config, example)
     if initial_params is not None:
         trainer.params = initial_params
+
+    leakage = split_leakage_report(dataset, train_idx, val_idx, test_idx)
+    with open(os.path.join(output_folder, "model_summary.txt"), "w") as f:
+        f.write(checkpoints.param_summary(trainer.params))
+    if verbose:
+        print("Split leakage:", leakage, flush=True)
 
     unscale = dataset.unscale_target if config.print_unscaled_loss else None
     scheduler = make_scheduler(config.scheduler, config.lr)
@@ -317,5 +342,5 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     report = metrics_mod.regression_report(pred, target)
     return {"history": history, "test_metrics": report,
             "best_val": best_val, "best_train": best_train,
-            "throughput": meter.summary(),
+            "throughput": meter.summary(), "leakage": leakage,
             "params": trainer.params, "trainer": trainer}

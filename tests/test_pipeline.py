@@ -117,6 +117,15 @@ def test_training_loss_decreases(dataset, tmp_path):
     files = os.listdir(tmp_path / "out")
     assert any(f.startswith("bestvalmodel_") for f in files)
     assert any(f.startswith("finalmodel_") for f in files)
+    assert "model_summary.txt" in files
+    # leakage report (reference train_model.py:807-824): split sizes add up
+    # and the dedup'd entity counts are consistent
+    leak = res["leakage"]
+    assert (leak["train"]["n_pairs"] + leak["val"]["n_pairs"]
+            + leak["test"]["n_pairs"]) == len(dataset)
+    for split in ("train", "val", "test"):
+        assert leak[split]["n_proteins"] <= leak[split]["n_pairs"]
+    assert leak["overlap"]["train_val_proteins"] <= leak["train"]["n_proteins"]
 
 
 def test_device_resident_loader_parity(dataset):
