@@ -88,7 +88,11 @@ class BucketedLoader:
         self.max_batch_size = max_batch_size or 1 << 30
         self.shuffle = shuffle
         self.include_nodepair = include_nodepair
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # epoch-indexed shuffling: each epoch's order depends only on
+        # (seed, epoch), so a resumed run (train/loop.py resume) replays the
+        # exact order a straight run would have used at that epoch
+        self.epoch = 0
         self.p_ladder = protein_node_ladder
         self.m_ladder = molecule_node_ladder
         self.e_ladder = edge_ladder
@@ -156,7 +160,8 @@ class BucketedLoader:
         host-assembly path below and the device-resident loader)."""
         order = self.indices.copy()
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        self.epoch += 1
         queues: dict = {}
         for i in order:
             b = self._bucket_of[int(i)]

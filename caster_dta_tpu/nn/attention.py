@@ -69,7 +69,10 @@ class MultiheadAttention(nn.Module):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
-        weights = jax.nn.softmax(logits, axis=-1)
+        # softmax in f32 regardless of compute dtype (bf16 logits lose the
+        # exp/sum precision); weights cast back for the PV matmul
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        weights = weights.astype(v.dtype)
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout, weights.shape)

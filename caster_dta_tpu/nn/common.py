@@ -40,6 +40,26 @@ def apply_act(act: Optional[Callable], x: jnp.ndarray) -> jnp.ndarray:
     return x if act is None else act(x)
 
 
+# Process-wide mixed-precision policy (the TPU equivalent of the reference's
+# AMP autocast, train_model.py:478): when set to e.g. jnp.bfloat16, every
+# Dense without an explicit ``dtype`` computes its matmul in that dtype while
+# parameters stay float32. Read at TRACE time — it is baked into each jitted
+# executable when the function is first traced, so set it before the first
+# call of a train/eval step (Trainer does this from TrainConfig.compute_dtype)
+# and do not flip it expecting already-compiled steps to change.
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the global matmul compute dtype (None = follow input dtype)."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype) if dtype is not None else None
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
 class Dense(nn.Module):
     """nn.Dense with torch.nn.Linear-style default initialization.
 
@@ -63,7 +83,8 @@ class Dense(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         kernel = self.param("kernel", kinit, (fan_in, self.features))
-        y = jnp.dot(x.astype(self.dtype or x.dtype), kernel.astype(self.dtype or x.dtype))
+        dt = self.dtype or _COMPUTE_DTYPE or x.dtype
+        y = jnp.dot(x.astype(dt), kernel.astype(dt))
         if self.use_bias:
             bias = self.param("bias", kinit, (self.features,))
             y = y + bias.astype(y.dtype)

@@ -36,6 +36,66 @@ def load_params(template, path: str):
         return serialization.from_bytes(template, f.read())
 
 
+TRAIN_STATE_FILE = "train_state.msgpack"
+
+
+def save_train_state(output_folder: str, *, params, opt_state, rng,
+                     epoch: int, best_train: float, best_val: float,
+                     n_since_best_val: int, lr: float, history: list,
+                     scheduler=None) -> None:
+    """Full resumable training state — params AND optimizer moments, RNG,
+    scheduler counters, best losses, history. The reference checkpoints only
+    the model state dict (train_model.py:672-682: 'optimizer/scheduler state
+    is not checkpointed'); this closes that gap so an interrupted run resumes
+    bit-identically. Written atomically (tmp + rename) so a mid-write failure
+    never corrupts the resume point."""
+    state = {
+        # to_state_dict: optax/flax states are NamedTuple pytrees, which
+        # msgpack cannot encode directly — flatten to nested dicts of arrays
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
+        "rng": np.asarray(jax.device_get(rng)),
+        "meta": {
+            "epoch": epoch, "best_train": float(best_train),
+            "best_val": float(best_val),
+            "n_since_best_val": int(n_since_best_val), "lr": float(lr),
+            "history": json.dumps(history),
+            "scheduler": json.dumps(
+                {k: v for k, v in vars(scheduler).items()
+                 if isinstance(v, (int, float, str, bool))}
+                if scheduler is not None else None),
+        },
+    }
+    path = os.path.join(output_folder, TRAIN_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+    os.replace(tmp, path)
+
+
+def load_train_state(output_folder: str, params_template, opt_state_template):
+    """Restore state saved by save_train_state; returns None if absent."""
+    path = os.path.join(output_folder, TRAIN_STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    meta = raw["meta"]
+    return {
+        "params": serialization.from_state_dict(params_template, raw["params"]),
+        "opt_state": serialization.from_state_dict(opt_state_template,
+                                                   raw["opt_state"]),
+        "rng": jax.numpy.asarray(raw["rng"]),
+        "epoch": int(meta["epoch"]),
+        "best_train": float(meta["best_train"]),
+        "best_val": float(meta["best_val"]),
+        "n_since_best_val": int(meta["n_since_best_val"]),
+        "lr": float(meta["lr"]),
+        "history": json.loads(meta["history"]),
+        "scheduler": json.loads(meta["scheduler"]),
+    }
+
+
 def best_checkpoint_name(kind: str, dataset_name: str, loss: float, epoch: int) -> str:
     """bestvalmodel_{ds}_val{loss}_epoch{e:05d}.msgpack etc.
     (reference train_model.py:672,681,707)."""

@@ -127,6 +127,10 @@ def main(argv=None):
                    help="directory of pre-downloaded {protein_id}.pdb files")
     p.add_argument("--n-epochs", type=int, default=2000)
     p.add_argument("--n-workers", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from the out-folder's "
+                        "train_state.msgpack (full params+optimizer+"
+                        "scheduler+rng state; bit-identical continuation)")
     p.add_argument("--synthetic-structures", action="store_true",
                    help="generate placeholder helix-backbone PDBs for "
                         "proteins without a structure file (offline/e2e "
@@ -171,7 +175,9 @@ def main(argv=None):
         pk, mk, jk)
 
     max_num, max_bsize = dataset_budgets(args.dataset)
-    cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed)
+    # bf16 matmuls = the reference's AMP-on default (train_model.py:478)
+    cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed,
+                      resume=args.resume, compute_dtype="bfloat16")
 
     initial_params = None
     if args.checkpoint is not None:

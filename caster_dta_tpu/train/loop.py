@@ -41,6 +41,15 @@ class TrainConfig:
     clip_norm: Optional[float] = None
     grad_accum: int = 1
     seed: int = 9
+    # matmul compute dtype ("bfloat16" = the reference's AMP-on equivalent,
+    # train_model.py:478; params/grads/moments stay f32). None = pure f32.
+    # Trace-time setting: applied process-wide when the Trainer is built.
+    compute_dtype: Optional[str] = None
+    # full train-state checkpointing (params+optimizer+scheduler+rng): write
+    # train_state.msgpack every k epochs (0 = off); resume=True restarts an
+    # interrupted run from it bit-identically.
+    save_state_every: int = 25
+    resume: bool = False
     print_unscaled_loss: bool = True
     log_every: int = 0           # print per-batch progress if > 0
     # device-resident graph store (data/device_cache.py): upload dedup'd
@@ -93,6 +102,12 @@ class Trainer:
     def __init__(self, model, config: TrainConfig, example_batch: PairBatch):
         self.model = model
         self.config = config
+        # mixed precision (AMP equivalent): trace-time process-wide policy,
+        # active for every step this trainer traces (see nn/common.py)
+        from caster_dta_tpu.nn import common as nn_common
+        nn_common.set_compute_dtype(
+            jnp.bfloat16 if config.compute_dtype in ("bfloat16", "bf16")
+            else config.compute_dtype)
         tx = make_optimizer(config.optimizer, config.lr, config.weight_decay)
         if config.clip_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(config.clip_norm), tx)
@@ -120,7 +135,7 @@ class Trainer:
             variables = {"params": params, **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
                                   deterministic=False, rngs={"dropout": rng})
-            pred = pred[:, 0]
+            pred = pred[:, 0].astype(jnp.float32)
             w = batch.weight
             loss = jnp.sum(w * (pred - batch.target) ** 2) / jnp.maximum(w.sum(), 1.0)
             return loss, pred
@@ -147,7 +162,7 @@ class Trainer:
             variables = {"params": params, **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
                                   deterministic=True)
-            return pred[:, 0]
+            return pred[:, 0].astype(jnp.float32)
 
         return step
 
@@ -272,6 +287,10 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     test_dl = mk_loader(test_idx, False, config.seed + 2)
 
     example = next(iter(train_dl))
+    # the example draw above consumed one epoch-indexed shuffle; reset so
+    # training epoch k always uses shuffle order (seed, k) — resume depends
+    # on this mapping being stable
+    getattr(train_dl, "loader", train_dl).epoch = 0
     trainer = Trainer(model, config, example)
     if initial_params is not None:
         trainer.params = initial_params
@@ -295,7 +314,28 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     lr = config.lr
     mean_val = np.inf
     history = []
-    for epoch in range(n_epochs):
+    start_epoch = 0
+    if config.resume:
+        st = checkpoints.load_train_state(output_folder, trainer.params,
+                                          trainer.opt_state)
+        if st is not None:
+            trainer.params = st["params"]
+            trainer.opt_state = st["opt_state"]
+            trainer.rng = st["rng"]
+            start_epoch = st["epoch"] + 1
+            best_train, best_val = st["best_train"], st["best_val"]
+            n_since_best_val = st["n_since_best_val"]
+            lr = st["lr"]
+            history = st["history"]
+            if scheduler is not None and st["scheduler"]:
+                vars(scheduler).update(st["scheduler"])
+            # replay the same epoch-indexed shuffle order a straight run
+            # would use at this epoch
+            getattr(train_dl, "loader", train_dl).epoch = start_epoch
+            if verbose:
+                print(f"Resumed from epoch {st['epoch']} "
+                      f"(best {best_train:.4f}/{best_val:.4f})", flush=True)
+    for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         mean_train, lr = trainer.train_epoch(
             train_dl, lr, scheduler=batch_sched, epoch=epoch,
@@ -330,6 +370,14 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
                 lr = scheduler.step(metric=mean_val)
             elif batch_sched is None:
                 lr = scheduler.step(epoch - config.warmup_epochs + 1)
+        if (config.save_state_every
+                and (epoch + 1) % config.save_state_every == 0):
+            checkpoints.save_train_state(
+                output_folder, params=trainer.params,
+                opt_state=trainer.opt_state, rng=trainer.rng, epoch=epoch,
+                best_train=best_train, best_val=best_val,
+                n_since_best_val=n_since_best_val, lr=lr, history=history,
+                scheduler=scheduler)
 
     checkpoints.save_params(trainer.params, os.path.join(
         output_folder, checkpoints.best_checkpoint_name(

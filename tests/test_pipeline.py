@@ -1,5 +1,9 @@
 """End-to-end pipeline tests: synthetic PDBs + SMILES -> pair dataset ->
 bucketed loader -> a short training run whose loss decreases."""
+import os
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -113,7 +117,6 @@ def test_training_loss_decreases(dataset, tmp_path):
     assert np.isfinite(res["test_metrics"]["mse"])
     assert 0.0 <= res["test_metrics"]["concordance_index"] <= 1.0
     # checkpoints + artifacts exist
-    import os
     files = os.listdir(tmp_path / "out")
     assert any(f.startswith("bestvalmodel_") for f in files)
     assert any(f.startswith("finalmodel_") for f in files)
@@ -159,13 +162,11 @@ def test_device_resident_loader_parity(dataset):
     assert isinstance(DeviceResidentLoader.maybe(mk(), 10), BucketedLoader)
 
 
-def test_training_reproducible(dataset, tmp_path):
-    """Same seed -> identical loss history (seeding story, SURVEY §7)."""
+def _mk_small_model(dataset):
     from caster_dta_tpu.models.joint import make_joint_gnn
 
-    def mk_model():
-        md = dataset.metadata_dict
-        return make_joint_gnn(
+    md = dataset.metadata_dict
+    return make_joint_gnn(
             dict(base_conv="lbamodel", in_channels=md["protein_node_features"],
                  edge_dim=md["protein_edge_features"],
                  num_ntypes=md["protein_node_types"],
@@ -188,11 +189,86 @@ def test_training_reproducible(dataset, tmp_path):
             residual_dim_ff_scale=2, num_cross_attn_layers=1,
             include_post_pool_layernorm=False)
 
+
+def test_training_reproducible(dataset, tmp_path):
+    """Same seed -> identical loss history (seeding story, SURVEY §7)."""
     cfg = TrainConfig(seed=5, scheduler=None, n_epochs=2,
                       print_unscaled_loss=False)
-    h1 = fit(mk_model(), dataset, "synthetic", str(tmp_path / "a"), cfg,
+    h1 = fit(_mk_small_model(dataset), dataset, "synthetic",
+             str(tmp_path / "a"), cfg,
              max_num=200_000, max_batch_size=8, verbose=False)["history"]
-    h2 = fit(mk_model(), dataset, "synthetic", str(tmp_path / "b"), cfg,
+    h2 = fit(_mk_small_model(dataset), dataset, "synthetic",
+             str(tmp_path / "b"), cfg,
              max_num=200_000, max_batch_size=8, verbose=False)["history"]
     assert [e["train"] for e in h1] == [e["train"] for e in h2]
     assert [e["val"] for e in h1] == [e["val"] for e in h2]
+
+
+def test_bf16_mixed_precision(dataset, tmp_path):
+    """compute_dtype='bfloat16' (the AMP equivalent, reference
+    train_model.py:478): trains to a loss close to pure f32, params stay
+    f32, and the policy resets for subsequent f32 trainers."""
+    from caster_dta_tpu.nn import common as nn_common
+    from caster_dta_tpu.train.loop import Trainer, split_dataset
+    from caster_dta_tpu.data.batching import BucketedLoader
+
+    idx, *_ = split_dataset(dataset, 0)
+    dl = BucketedLoader(dataset, idx, max_num=200_000, max_batch_size=8,
+                        shuffle=False, seed=0)
+    batch = next(iter(dl))
+
+    model = _mk_small_model(dataset)
+    losses = {}
+    for dt in (None, "bfloat16"):
+        tr = Trainer(model, TrainConfig(seed=0, lr=1e-2, scheduler=None,
+                                        compute_dtype=dt), batch)
+        p, o = tr.params, tr.opt_state
+        rng = jax.random.PRNGKey(0)
+        ls = []
+        for _ in range(6):
+            p, o, loss, pred = tr._train_step(p, o, batch, rng)
+            ls.append(float(loss))
+        losses[dt] = ls
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(p))
+        assert pred.dtype == jnp.float32
+    assert nn_common.get_compute_dtype() == jnp.bfloat16
+    nn_common.set_compute_dtype(None)
+    assert losses["bfloat16"][-1] < 0.5 * losses["bfloat16"][0]
+    dev = max(abs(a - b) for a, b in zip(losses[None], losses["bfloat16"]))
+    assert dev < 0.06, (losses, dev)
+
+
+def test_resume_bit_identical(dataset, tmp_path):
+    """Full train-state resume: an interrupted run continued with resume=True
+    reproduces the straight run's loss history exactly (params+optimizer+
+    scheduler+rng+shuffle-order state all restored)."""
+    import shutil
+
+    common = dict(scheduler="plateau", print_unscaled_loss=False, seed=7)
+    kw = dict(max_num=200_000, max_batch_size=8, verbose=False)
+
+    straight = fit(_mk_small_model(dataset), dataset, "synthetic",
+                   str(tmp_path / "straight"),
+                   TrainConfig(n_epochs=4, save_state_every=0, **common), **kw)
+
+    out = str(tmp_path / "resumed")
+    fit(_mk_small_model(dataset), dataset, "synthetic", out,
+        TrainConfig(n_epochs=2, save_state_every=1, **common), **kw)
+    # wipe best checkpoints so the resumed run's test eval can't silently
+    # reuse a pre-interrupt best; keep only the train state
+    for f in list(os.listdir(out)):
+        if f.startswith(("bestval", "besttrain", "final")):
+            os.remove(os.path.join(out, f))
+    resumed = fit(_mk_small_model(dataset), dataset, "synthetic", out,
+                  TrainConfig(n_epochs=4, save_state_every=1, resume=True,
+                              **common), **kw)
+
+    h_straight = [(e["epoch"], e["train"], e["val"])
+                  for e in straight["history"]]
+    h_resumed = [(e["epoch"], e["train"], e["val"])
+                 for e in resumed["history"]]
+    assert h_resumed == h_straight
+    for a, b in zip(jax.tree_util.tree_leaves(straight["params"]),
+                    jax.tree_util.tree_leaves(resumed["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
