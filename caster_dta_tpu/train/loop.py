@@ -140,17 +140,22 @@ class Trainer:
             loss = jnp.sum(w * (pred - batch.target) ** 2) / jnp.maximum(w.sum(), 1.0)
             return loss, pred
 
-        # donate params/opt_state: they are consumed and re-produced every
-        # step, so XLA updates them in place instead of allocating fresh
-        # buffers (halves the optimizer's HBM traffic). Callers must treat
-        # the passed-in values as invalidated after the call.
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, batch, rng):
+        # donate params/opt_state/rng: consumed and re-produced every step,
+        # so XLA updates them in place instead of allocating fresh buffers.
+        # The PRNG split and the learning-rate injection both happen INSIDE
+        # the step: per batch the host issues exactly ONE dispatch whose only
+        # host-side operands are the small row/target/weight/lr arrays — on a
+        # remote-device (tunnel) backend every extra per-batch device op is a
+        # round trip, and these dominated Davis epoch time before.
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        def step(params, opt_state, batch, rng, lr):
+            rng, step_rng = jax.random.split(rng)
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng)
+                params, batch, step_rng)
+            set_learning_rate(opt_state, lr)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, pred
+            return params, opt_state, loss, pred, rng
 
         return step
 
@@ -176,10 +181,9 @@ class Trainer:
         acc = _PredAccumulator(len(loader), _max_batch_width(loader))
         deferred = []   # (mask, target, n_real)
         for batch in loader:
-            set_learning_rate(self.opt_state, lr)
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, _, pred = self._train_step(
-                self.params, self.opt_state, batch, step_rng)
+            self.params, self.opt_state, _, pred, self.rng = self._train_step(
+                self.params, self.opt_state, batch, self.rng,
+                np.float32(lr))
             n_real = int(batch.weight.sum())
             n_processed += n_real
             if meter is not None:
