@@ -89,3 +89,39 @@ def test_proteinseqdupe_filter():
         "affinity_score": [1.0, 2.0, 3.0]})
     out = datasets.apply_proteinseqdupe_filter(df)
     assert len(out["protein_sequence"].unique()) == len(out)
+
+
+def test_plinder_csv_cache_and_split(tmp_path):
+    """parse_plinder loads a previously processed CSV without the optional
+    plinder package, and load_dataset('plinder') honors the predefined
+    'split' column through split_dataset (reference get_plinder.py:6-183)."""
+    from caster_dta_tpu.data.plinder import parse_plinder
+
+    d = tmp_path / "plinder_data"
+    d.mkdir()
+    cached = pd.DataFrame({
+        "protein_id": ["a", "b", "c"],
+        "protein_sequence": ["ACDEFGHIKL", "MNPQRSTVWY", "ACDEFGHIKL"],
+        "protein_file": ["x.pdb", "y.pdb", "z.pdb"],
+        "molecule_id": ["m1", "m2", "m1"],
+        "molecule_smiles": ["CCO", "CCN", "CCO"],
+        "affinity_score": [5.0, 6.0, 7.0],
+        "split": ["train", "val", "test"],
+    })
+    cached.to_csv(d / "processed_data_plinderdl.csv", index=False)
+    df = parse_plinder(str(d))
+    assert df["split"].tolist() == ["train", "val", "test"]
+
+    df2 = datasets.load_dataset("plinder", data_root=str(tmp_path),
+                                structures_dir=None)
+    assert len(df2) == 3
+
+    class FakeDS:
+        dataframe = df2
+    from caster_dta_tpu.train.loop import split_dataset
+    tr, va, te = split_dataset(FakeDS(), seed=0)
+    assert (len(tr), len(va), len(te)) == (1, 1, 1)
+
+    # without the plinder package, a fresh parse raises the gated ImportError
+    with pytest.raises(ImportError):
+        parse_plinder(str(tmp_path / "empty"), force_reparse=True)
