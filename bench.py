@@ -32,8 +32,10 @@ def main():
     trainer = Trainer(model, cfg, batch)
 
     rng = jax.random.PRNGKey(0)
+    lr = np.float32(cfg.lr)
     # warmup/compile
-    p, o, loss, _ = trainer._train_step(trainer.params, trainer.opt_state, batch, rng)
+    p, o, loss, _, rng = trainer._train_step(
+        trainer.params, trainer.opt_state, batch, rng, lr)
     jax.block_until_ready(loss)
 
     # Several timing windows, keep the fastest: the remote-device tunnel adds
@@ -43,7 +45,7 @@ def main():
     for _ in range(n_windows):
         t0 = time.perf_counter()
         for i in range(n_steps):
-            p, o, loss, _ = trainer._train_step(p, o, batch, rng)
+            p, o, loss, _, rng = trainer._train_step(p, o, batch, rng, lr)
         jax.block_until_ready(loss)
         dt = min(dt, (time.perf_counter() - t0) / n_steps)
 

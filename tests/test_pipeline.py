@@ -218,23 +218,35 @@ def test_bf16_mixed_precision(dataset, tmp_path):
     batch = next(iter(dl))
 
     model = _mk_small_model(dataset)
-    losses = {}
+    losses, evals = {}, {}
+
+    def eval_mse(tr, p):
+        pred = tr._eval_step(p, batch)
+        m = np.asarray(batch.weight) > 0
+        return float(np.mean((np.asarray(pred)[m] - batch.target[m]) ** 2))
+
     for dt in (None, "bfloat16"):
         tr = Trainer(model, TrainConfig(seed=0, lr=1e-2, scheduler=None,
                                         compute_dtype=dt), batch)
         p, o = tr.params, tr.opt_state
+        ev0 = eval_mse(tr, p)
         rng = jax.random.PRNGKey(0)
         ls = []
-        for _ in range(6):
-            p, o, loss, pred = tr._train_step(p, o, batch, rng)
+        for _ in range(10):
+            p, o, loss, pred, rng = tr._train_step(p, o, batch, rng,
+                                                   np.float32(1e-2))
             ls.append(float(loss))
         losses[dt] = ls
+        evals[dt] = (ev0, eval_mse(tr, p))
         assert all(l.dtype == jnp.float32
                    for l in jax.tree_util.tree_leaves(p))
         assert pred.dtype == jnp.float32
     assert nn_common.get_compute_dtype() == jnp.bfloat16
     nn_common.set_compute_dtype(None)
-    assert losses["bfloat16"][-1] < 0.5 * losses["bfloat16"][0]
+    # deterministic eval loss decreases materially after 10 steps (per-step
+    # train losses are dropout-noisy now that the RNG advances inside the step)
+    assert evals["bfloat16"][1] < 0.96 * evals["bfloat16"][0], evals
+    assert evals[None][1] < 0.96 * evals[None][0], evals
     dev = max(abs(a - b) for a, b in zip(losses[None], losses["bfloat16"]))
     assert dev < 0.06, (losses, dev)
 
