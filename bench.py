@@ -28,7 +28,10 @@ def main():
     batch = _synthetic_batch(b=B, n_p=N_P, e_p=E_P, n_m=N_M, e_m=E_M, seed=0)
 
     model = _trained_config_model()
-    cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4)
+    # bf16 matmuls: the training driver's default and the reference's AMP-on
+    # equivalent (reference train_model.py:478); params/grads stay f32.
+    cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4,
+                      compute_dtype="bfloat16")
     trainer = Trainer(model, cfg, batch)
 
     rng = jax.random.PRNGKey(0)
