@@ -12,9 +12,15 @@ Semantics match nn/attention.py exactly: scale 1/sqrt(hd), key padding mask
 adds -1e9 (so a fully-masked row degrades to uniform weights, same as the
 XLA softmax over constant logits), f32 accumulation.
 
-Forward-only by design: it is the inference/screening fast path (the
-training path keeps XLA attention, whose weights the JointGNN API returns
-for interpretability).
+Two entry points:
+
+* ``masked_mha`` — forward-only streaming kernel (inference/screening).
+* ``flash_mha`` — differentiable (custom VJP): the backward kernel
+  recomputes the softmax tiles in VMEM from (q, k, v, out), so neither pass
+  ever materializes the [B, H, Lq, Lk] logits in HBM. This is the training
+  path when attention maps are not requested (JointGNN return_attention=
+  False): at the flagship bucket the XLA attention's logit tensors are 8x
+  [32, 8, 512, 64] bf16 (~134 MB) of the train step's HBM traffic.
 """
 from __future__ import annotations
 
@@ -22,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,14 +37,16 @@ BK = 128   # key rows per chunk
 _NEG = -1e9
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd):
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd,
+                precision):
     # One program = one (batch, query-block): all heads processed here so the
     # per-program work amortizes grid/launch overhead (hd is small, the MXU
-    # tiles are thin either way). HIGHEST precision keeps the f32 numerics of
-    # the XLA/CPU reference path (default would round through one bf16 pass).
+    # tiles are thin either way). precision=HIGHEST keeps the f32 numerics of
+    # the XLA/CPU reference path (masked_mha); the training flash path uses
+    # default precision with bf16 operands and f32 accumulation.
     nk = lk // BK
     for head in range(h):
-        q = q_ref[0, head] * scale                 # [BQ, hd]
+        q = q_ref[0, head]                         # [BQ, hd]
 
         m0 = jnp.full((BQ, 1), -1e30, jnp.float32)
         l0 = jnp.zeros((BQ, 1), jnp.float32)
@@ -50,7 +59,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd):
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [BQ, BK]
+                precision=precision) * scale           # [BQ, BK] f32
             # 0 = real, 1 = user-masked (-1e9 like the XLA path),
             # 2 = structural block padding (strictly lower, so a fully
             # user-masked row still matches XLA's uniform-over-real-keys
@@ -62,21 +71,24 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd):
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                        preferred_element_type=jnp.float32,
+                                        precision=precision)
             return m_new, l, acc
 
         m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
         o_ref[0, head] = acc / jnp.maximum(l, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mha(q, k, v, pad_mask, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "highest"))
+def _mha(q, k, v, pad_mask, interpret=False, highest=True):
     b, h, lq, hd = q.shape
     lk = k.shape[2]
     scale = 1.0 / float(hd) ** 0.5
     grid = (b, lq // BQ)
-    kernel = functools.partial(_mha_kernel, scale=scale, h=h, lk=lk, hd=hd)
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    kernel = functools.partial(_mha_kernel, scale=scale, h=h, lk=lk, hd=hd,
+                               precision=precision)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, lq, hd), jnp.float32),
@@ -102,6 +114,146 @@ def _mha(q, k, v, pad_mask, interpret=False):
     )(q, k, v, pad_mask[:, None, :])
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale, h, lq, lk, hd):
+    """One program = one batch element. Recomputes each [BQ, Lk] softmax tile
+    from (q, k) in VMEM and backprops it (standard flash backward, with the
+    whole K/V resident — Lk here is the padded atom/residue count, <= ~4k).
+
+    Masking matches the XLA path's where(mask, -1e9, logits): the masked
+    logits are constants there, so d_logits is zeroed at masked keys, while
+    dV still flows through the (near-zero, or uniform-degenerate) weights.
+    """
+    nq = lq // BQ
+    for head in range(h):
+        k_h = k_ref[0, head]                               # [Lk, hd]
+        v_h = v_ref[0, head]
+        cdt = k_h.dtype                                    # compute dtype
+        pad = pad_ref[0, 0]                                # [Lk] i32
+        neg = jnp.where(pad[None, :] == 1, _NEG, 0.0)
+        neg = jnp.where(pad[None, :] == 2, 2.0 * _NEG, neg)  # [1, Lk]
+        key_live = (pad[None, :] == 0).astype(jnp.float32)
+
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            qs = q_ref[0, head, pl.ds(i * BQ, BQ), :]
+            do = do_ref[0, head, pl.ds(i * BQ, BQ), :].astype(cdt)
+            o = o_ref[0, head, pl.ds(i * BQ, BQ), :]
+
+            s = jax.lax.dot_general(
+                qs, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + neg  # [BQ, Lk]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            p = p / l                                        # softmax rows
+
+            d = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(cdt), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Lk, hd]
+            dp = jax.lax.dot_general(
+                do, v_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [BQ, Lk]
+            ds = (p * (dp - d) * key_live).astype(cdt)       # mask kills d_logits
+            dq_ref[0, head, pl.ds(i * BQ, BQ), :] = (
+                jnp.dot(ds, k_h, preferred_element_type=jnp.float32) * scale)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [Lk, hd]
+            return dk_acc, dv_acc
+
+        zeros = jnp.zeros((lk, hd), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, nq, body, (zeros, zeros))
+        dk_ref[0, head] = dk
+        dv_ref[0, head] = dv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mha_bwd(q, k, v, pad, o, do, interpret=False):
+    b, h, lq, hd = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / float(hd) ** 0.5
+    kernel = functools.partial(_mha_bwd_kernel, scale=scale, h=h,
+                               lq=lq, lk=lk, hd=hd)
+    full_q = pl.BlockSpec((1, h, lq, hd), lambda bi: (bi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full_k = pl.BlockSpec((1, h, lk, hd), lambda bi: (bi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, h, lq, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lk, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lk, hd), jnp.float32)),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[full_q, full_k, full_k,
+                      pl.BlockSpec((1, 1, lk), lambda bi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      full_q, full_q],
+            out_specs=(full_q, full_k, full_k),
+        ),
+        interpret=interpret,
+    )(q, k, v, pad, o, do)
+
+
+def _pad_inputs(q, k, v, key_padding_mask, dtype=None):
+    b, h, lq, hd = q.shape
+    lk = k.shape[2]
+    lq_p = pl.cdiv(lq, BQ) * BQ
+    lk_p = pl.cdiv(lk, BK) * BK
+    dtype = dtype or q.dtype
+    qp = jnp.pad(q.astype(dtype), ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
+    kp = jnp.pad(k.astype(dtype), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    vp = jnp.pad(v.astype(dtype), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    if key_padding_mask is None:
+        pad = jnp.zeros((b, lk), jnp.int32)
+    else:
+        pad = key_padding_mask.astype(jnp.int32)
+    pad = jnp.pad(pad, ((0, 0), (0, lk_p - lk)), constant_values=2)
+    return qp, kp, vp, pad[:, None, :]
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+@jax.custom_vjp
+def _flash_core(q, k, v, pad):
+    return _mha(q, k, v, pad[:, 0, :], interpret=_interpret(), highest=False)
+
+
+def _flash_fwd(q, k, v, pad):
+    out = _flash_core(q, k, v, pad)
+    return out, (q, k, v, pad, out)
+
+
+def _flash_bwd(res, g):
+    q, k, v, pad, out = res
+    dq, dk, dv = _mha_bwd(q, k, v, pad, out, g.astype(jnp.float32),
+                          interpret=_interpret())
+    dpad = np.zeros(pad.shape, jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dpad)
+
+
+_flash_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              key_padding_mask=None) -> jnp.ndarray:
+    """Differentiable blockwise masked attention (custom VJP).
+
+    Same contract as masked_mha (q: [B, H, Lq, hd]; k/v: [B, H, Lk, hd];
+    key_padding_mask: bool [B, Lk], True = padding), but with a Pallas
+    backward kernel, so it is usable inside jax.grad — neither pass
+    materializes [B, H, Lq, Lk] in HBM. Returns f32 [B, H, Lq, hd].
+    """
+    lq = q.shape[2]
+    qp, kp, vp, pad = _pad_inputs(q, k, v, key_padding_mask)
+    out = _flash_core(qp, kp, vp, pad)
+    return out[:, :, :lq, :]
+
+
 def masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                key_padding_mask=None) -> jnp.ndarray:
     """Blockwise masked attention output.
@@ -111,20 +263,8 @@ def masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Returns [B, H, Lq, hd]. Lq/Lk are padded internally to block multiples
     (padded keys are masked; padded query rows are dropped).
     """
-    b, h, lq, hd = q.shape
-    lk = k.shape[2]
-    lq_p = pl.cdiv(lq, BQ) * BQ
-    lk_p = pl.cdiv(lk, BK) * BK
-
-    q = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
-    k = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
-    v = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
-    if key_padding_mask is None:
-        pad = jnp.zeros((b, lk), jnp.int32)
-    else:
-        pad = key_padding_mask.astype(jnp.int32)
-    pad = jnp.pad(pad, ((0, 0), (0, lk_p - lk)), constant_values=2)
-
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out = _mha(q, k, v, pad, interpret=interpret)
+    lq = q.shape[2]
+    qp, kp, vp, pad = _pad_inputs(q, k, v, key_padding_mask,
+                                  dtype=jnp.float32)
+    out = _mha(qp, kp, vp, pad[:, 0, :], interpret=_interpret())
     return out[:, :, :lq, :]

@@ -82,3 +82,43 @@ def test_mha_module_pallas_path_matches(rng):
     assert w_fast is None and w_ref is not None
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_mha_forward_and_grads_match_xla(rng):
+    """flash_mha (custom VJP) forward and q/k/v gradients match the XLA
+    reference, including a degenerate batch where every key is masked."""
+    from caster_dta_tpu.ops.pallas_attention import flash_mha
+
+    b, h, lq, lk, hd = 3, 4, 160, 70, 16
+    q, k, v = (_rand(rng, b, h, lq, hd), _rand(rng, b, h, lk, hd),
+               _rand(rng, b, h, lk, hd))
+    mask = np.asarray(rng.random((b, lk)) < 0.3)
+    mask[1, :] = True                       # degenerate: all keys masked
+    mask = jnp.asarray(mask)
+
+    np.testing.assert_allclose(np.asarray(flash_mha(q, k, v, mask)),
+                               np.asarray(_xla_ref(q, k, v, mask)),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g_flash = jax.grad(loss(lambda q, k, v: flash_mha(q, k, v, mask)),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(lambda q, k, v: _xla_ref(q, k, v, mask)),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_mha_under_jit_and_vmap_shapes(rng):
+    """flash_mha composes with jit and non-multiple-of-block lengths."""
+    from caster_dta_tpu.ops.pallas_attention import flash_mha
+
+    q, k, v = (_rand(rng, 1, 2, 130, 16), _rand(rng, 1, 2, 33, 16),
+               _rand(rng, 1, 2, 33, 16))
+    out = jax.jit(lambda q, k, v: flash_mha(q, k, v, None))(q, k, v)
+    want = _xla_ref(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
