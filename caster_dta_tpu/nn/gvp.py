@@ -37,6 +37,21 @@ SV = Tuple[jnp.ndarray, jnp.ndarray]
 # per-tensor gathers. Kept as a flag for A/B benchmarking.
 _MERGED_ENDPOINT_GATHER = True
 
+# Fused Pallas message-MLP dispatch (ops/pallas_gvp_message.py). Tri-state:
+# None = auto (directly-attached TPU only), True = force (tests use this on
+# CPU via interpret mode), False = never. Auto excludes the remote-device
+# 'axon' tunnel backend: there the fused path lowers DEVICE step time
+# (298 -> 278 us/step at the flagship bucket) but each tpu_custom_call
+# disrupts the tunnel's async step pipelining, costing far more wall time
+# than the kernels save — measured 0.59 -> 0.9-1.4 ms/step end-to-end.
+USE_FUSED_MESSAGE = None
+
+
+def _fused_message_dispatch() -> bool:
+    if USE_FUSED_MESSAGE is not None:
+        return USE_FUSED_MESSAGE
+    return jax.devices()[0].platform == "tpu"
+
 
 def tuple_sum(*args: SV) -> SV:
     """Elementwise sum of (s, V) tuples (reference gvp_layers.py:39-43)."""
@@ -185,19 +200,60 @@ class GVPConv(nn.Module):
     def __call__(self, x: SV, edge_src, edge_dst, edge_mask, edge_attr: SV,
                  message_mask=None) -> SV:
         s, v = x
+        so, vo = self.out_dims
+        nv_in = v.shape[-2]
+        e = edge_src.shape[1]
+        eff_mask = edge_mask if message_mask is None else (edge_mask & message_mask)
+        num_nodes = s.shape[1]
+
+        fused_ok = (
+            _MERGED_ENDPOINT_GATHER and self.vector_gate
+            and nv_in > 0 and vo > 0 and edge_attr[1].shape[-2] > 0
+            and all(a in ("relu", "sigmoid", None) for a in self.activations)
+            and not self.is_initializing()
+            and 2 * e * (s.shape[-1] + 3 * nv_in) * 4 <= 4_000_000
+            and _fused_message_dispatch())
+
         if _MERGED_ENDPOINT_GATHER:
             # One merged-(s,v) gather per edge endpoint instead of four
             # narrow ones: the XLA gather kernel is per-row latency-bound
             # (profiled at ~160 GB/s effective on 32-byte rows), so halving
             # the row count by widening rows to ns+3nv columns nearly halves
             # gather time — the train step's dominant cost on TPU.
-            nv_in = v.shape[-2]
-            e = edge_src.shape[1]
             sv = merge_sv(s, v)                        # [B, N, ns+3nv]
+            if fused_ok:
+                # pin the node table row-major so the gather reads whole
+                # rows (see ops/pallas_gvp_message.layout_pin). NOTE: keep
+                # f32 here — this XLA build's row-gather custom is ~2x
+                # faster on f32 rows than bf16 (and a bf16 cotangent flips
+                # the backward scatter-add to a slower sort-based lowering)
+                from caster_dta_tpu.ops.pallas_gvp_message import layout_pin
+                sv = layout_pin(sv)
             # ... and one gather for both endpoints (backward then emits a
             # single 2E-row scatter-add instead of two E-row ones)
             both = segment.gather_nodes(
                 sv, jnp.concatenate([edge_src, edge_dst], axis=1))
+
+        if fused_ok:
+            # Fused Pallas message MLP: all three gated GVPs in one kernel,
+            # intermediates in VMEM (see ops/pallas_gvp_message.py). Params
+            # are READ from self.variables (created by the module path at
+            # init), so the checkpoint tree is identical on both paths.
+            from caster_dta_tpu.ops.pallas_gvp_message import fused_message_mlp
+            from caster_dta_tpu.nn.common import get_compute_dtype as _gcd
+
+            params = self.variables["params"]
+            merged = fused_message_mlp(
+                both, edge_attr[0], edge_attr[1],
+                [params[f"message_{k}"] for k in range(self.n_layers)],
+                ns=s.shape[-1], nv=nv_in,
+                v_parts=(nv_in, edge_attr[1].shape[-2], nv_in),
+                activations=self.activations, compute_dtype=_gcd())
+            out = segment.aggregate(merged, edge_dst, eff_mask, num_nodes,
+                                    self.aggr)
+            return split_sv(out, vo)
+
+        if _MERGED_ENDPOINT_GATHER:
             s_j, v_j = split_sv(both[:, :e], nv_in)
             s_i, v_i = split_sv(both[:, e:], nv_in)
         else:
@@ -207,7 +263,6 @@ class GVPConv(nn.Module):
             v_i = segment.gather_nodes(v, edge_dst)
         msg = tuple_cat((s_j, v_j), edge_attr, (s_i, v_i))
 
-        so, vo = self.out_dims
         gvp_kwargs = dict(activations=self.activations, vector_gate=self.vector_gate,
                           dtype=self.dtype)
         if self.n_layers == 1:
@@ -222,8 +277,6 @@ class GVPConv(nn.Module):
                       name=f"message_{self.n_layers - 1}")(msg)
 
         m_s, m_v = msg
-        eff_mask = edge_mask if message_mask is None else (edge_mask & message_mask)
-        num_nodes = s.shape[1]
         if _MERGED_ENDPOINT_GATHER:
             # single merged scatter (same row-count argument as the gathers)
             merged = merge_sv(m_s, m_v)                # [B, E, so+3vo]
