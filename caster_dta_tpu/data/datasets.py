@@ -236,6 +236,15 @@ def load_dataset(dataset_name: str, data_root: str = "./data",
     elif name == "plinder":
         from caster_dta_tpu.data.plinder import parse_plinder
         df = parse_plinder(os.path.join(data_root, "plinder_data"), **kwargs)
+    elif name == "synthetic":
+        # offline end-to-end runs: on-disk helix-backbone PDBs + pool SMILES
+        # with a size-dependent affinity signal (data/synthetic.py)
+        from caster_dta_tpu.data.synthetic import make_synthetic_dataframe
+        df = make_synthetic_dataframe(
+            os.path.join(data_root, "synthetic_pdbs"),
+            **{k: v for k, v in kwargs.items()
+               if k in ("n_proteins", "n_molecules", "n_pairs", "res_range",
+                        "seed")})
     else:
         raise ValueError(f"Dataset name {dataset_name!r} not recognized")
     if do_mostcommon_filter:

@@ -125,3 +125,18 @@ def test_plinder_csv_cache_and_split(tmp_path):
     # without the plinder package, a fresh parse raises the gated ImportError
     with pytest.raises(ImportError):
         parse_plinder(str(tmp_path / "empty"), force_reparse=True)
+
+
+def test_synthetic_dataset_registry(tmp_path):
+    """'synthetic' dataset: offline 6-column DataFrame with on-disk PDBs,
+    loadable through the registry for end-to-end runs without network."""
+    from caster_dta_tpu.data.datasets import load_dataset
+
+    df = load_dataset("synthetic", data_root=str(tmp_path), n_pairs=10,
+                      n_proteins=2, n_molecules=3)
+    assert list(df.columns) == ["protein_id", "protein_sequence",
+                                "protein_file", "molecule_id",
+                                "molecule_smiles", "affinity_score"]
+    assert len(df) > 0
+    import os
+    assert all(os.path.exists(p) for p in df["protein_file"].unique())
