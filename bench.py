@@ -16,6 +16,36 @@ import time
 import numpy as np
 
 
+def _device_step_us(step, args, n=20):
+    """On-device jit_step time from a profiler trace: immune to the
+    remote-device tunnel's bursty dispatch latency (wall time on the tunnel
+    drifts by up to 2x between runs; device time is stable to ~1%)."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        p, o, batch, rng, lr = args
+        d = tempfile.mkdtemp(prefix="benchtrace")
+        with jax.profiler.trace(d):
+            for _ in range(n):
+                p, o, loss, _, rng = step(p, o, batch, rng, lr)
+            jax.block_until_ready(loss)
+        f = sorted(glob.glob(d + "/**/*.trace.json.gz", recursive=True))[-1]
+        with gzip.open(f) as fh:
+            tr = json.load(fh)
+        names = {e["pid"]: e["args"]["name"] for e in tr["traceEvents"]
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+        tot = sum(e["dur"] for e in tr["traceEvents"]
+                  if e.get("ph") == "X" and "TPU" in names.get(e["pid"], "")
+                  and e["name"].startswith("jit_step"))
+        return round(tot / n / 1000.0, 1)
+    except Exception:
+        return None
+
+
 def main():
     import jax
 
@@ -52,6 +82,8 @@ def main():
         jax.block_until_ready(loss)
         dt = min(dt, (time.perf_counter() - t0) / n_steps)
 
+    device_us = _device_step_us(trainer._train_step, (p, o, batch, rng, lr))
+
     p_edges = int(np.asarray(batch.protein.edge_mask).sum())
     m_edges = int(np.asarray(batch.molecule.edge_mask).sum())
     edges_per_s = (p_edges + m_edges) / dt
@@ -70,6 +102,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "extra": {
             "step_time_ms": round(dt * 1e3, 2),
+            "device_step_us": device_us,
             "pairs_per_s": round(pairs_per_s, 1),
             "batch": {"B": B, "N_p": N_P, "E_p": E_P, "N_m": N_M, "E_m": E_M},
             "real_edges_per_batch": p_edges + m_edges,

@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from caster_dta_tpu.nn.common import (Dense, select_activation, apply_act,
-                                      get_compute_dtype)
+from caster_dta_tpu.nn.common import Dense, select_activation, apply_act
 from caster_dta_tpu.ops import segment
 
 SV = Tuple[jnp.ndarray, jnp.ndarray]

@@ -140,3 +140,25 @@ def test_synthetic_dataset_registry(tmp_path):
     assert len(df) > 0
     import os
     assert all(os.path.exists(p) for p in df["protein_file"].unique())
+
+
+def test_davis_loader_golden_counts():
+    """Golden parity on the reference's vendored DeepDTA Davis files (the
+    known dataset: 442 proteins x 68 ligands, 30,056 measured interactions,
+    Y already -log10(Kd/1e9)-transformed). Skipped when the reference data
+    mount is absent."""
+    import os
+    import pytest
+
+    root = "/root/reference/data"
+    if not os.path.isdir(os.path.join(root, "deepdta_data", "davis")):
+        pytest.skip("reference davis data not mounted")
+    from caster_dta_tpu.data.datasets import load_dataset
+
+    df = load_dataset("davis", data_root=root)
+    assert df["protein_id"].nunique() == 442
+    assert df["molecule_id"].nunique() == 68
+    assert len(df) == 30056
+    # transformed pKd range sanity (5.0 floor for non-binders)
+    assert df["affinity_score"].min() >= 5.0 - 1e-6
+    assert df["affinity_score"].max() <= 11.0
