@@ -30,6 +30,33 @@ from caster_dta_tpu.data.graphs import GraphBatch, stack_graphs
 
 
 @struct.dataclass
+class MegaBatch:
+    """An entire bucket's epoch of batches as one stacked dispatch unit.
+
+    The per-step arrays are [k, B] (k = batches this bucket holds this
+    epoch); the train/eval steps lax.scan over axis 0, gathering each
+    step's graphs from the device-resident stores. One executable launch
+    covers k optimizer steps — on a remote-device (tunnel) backend each
+    launch costs ~0.5-1s wall regardless of device time (measured: a
+    168-batch Davis epoch spent ~158s in launch overhead at 278us device
+    time per step), and on directly-attached hardware it still removes
+    per-step dispatch and pipeline bubbles.
+    """
+
+    p_store: GraphBatch     # [P, ...] device-resident
+    m_store: GraphBatch     # [M, ...]
+    p_rows: np.ndarray      # i32 [k, B]
+    m_rows: np.ndarray      # i32 [k, B]
+    target: np.ndarray      # f32 [k, B]
+    weight: np.ndarray      # f32 [k, B]
+    pair_idx: np.ndarray    # i32 [k, B]
+
+    @property
+    def n_steps(self) -> int:
+        return self.p_rows.shape[0]
+
+
+@struct.dataclass
 class StoreBatch:
     """A batch as (device-resident stores + row indices).
 
@@ -144,23 +171,58 @@ class DeviceResidentLoader:
     def buckets(self):
         return self.loader.buckets()
 
-    def __iter__(self):
+    def _index_batch_arrays(self, b, idxs):
+        """Host-side per-batch arrays (rows, target, weight, pair_idx) plus
+        the real-edge count, shared by the per-batch and megabatch paths."""
         ds = self.dataset
+        bs = self.loader.bucket_batch_size(b)
+        weight = np.zeros(bs, np.float32)
+        weight[: len(idxs)] = 1.0
+        full = list(idxs) + [idxs[-1]] * (bs - len(idxs))
+        p_rows = np.asarray([self._p_rows[b][ds.pair_indices[i][0]]
+                             for i in full], np.int32)
+        m_rows = np.asarray([self._m_rows[b][ds.pair_indices[i][1]]
+                             for i in full], np.int32)
+        target = np.asarray([ds.affinity_data[i] for i in full], np.float32)
+        n_edges = sum(self._n_edges[("p", ds.pair_indices[i][0])]
+                      + self._n_edges[("m", ds.pair_indices[i][1])]
+                      for i in idxs)
+        return p_rows, m_rows, target, weight, np.asarray(full, np.int32), n_edges
+
+    def iter_megabatches(self):
+        """Yield one MegaBatch per bucket covering this epoch's batches.
+
+        Within a bucket, batch order is the epoch shuffle order (same as the
+        per-batch path); buckets themselves are dispatched in a seeded
+        per-epoch shuffled order so no graph-size stratum systematically
+        leads or trails the optimizer trajectory.
+        """
+        epoch = self.loader.epoch   # iter_index_batches increments it
+        groups: dict = {}
         for b, idxs in self.loader.iter_index_batches():
-            bs = self.loader.bucket_batch_size(b)
-            weight = np.zeros(bs, np.float32)
-            weight[: len(idxs)] = 1.0
-            full = list(idxs) + [idxs[-1]] * (bs - len(idxs))
-            p_rows = np.asarray([self._p_rows[b][ds.pair_indices[i][0]]
-                                 for i in full], np.int32)
-            m_rows = np.asarray([self._m_rows[b][ds.pair_indices[i][1]]
-                                 for i in full], np.int32)
-            target = np.asarray([ds.affinity_data[i] for i in full], np.float32)
+            groups.setdefault(b, []).append(self._index_batch_arrays(b, idxs))
+        keys = sorted(groups.keys())
+        if self.loader.shuffle:
+            keys = [keys[j] for j in np.random.default_rng(
+                (self.loader.seed, epoch, 0xB)).permutation(len(keys))]
+        for b in keys:
+            rows = groups[b]
+            yield (MegaBatch(
+                p_store=self._p_store[b], m_store=self._m_store[b],
+                p_rows=np.stack([r[0] for r in rows]),
+                m_rows=np.stack([r[1] for r in rows]),
+                target=np.stack([r[2] for r in rows]),
+                weight=np.stack([r[3] for r in rows]),
+                pair_idx=np.stack([r[4] for r in rows])),
+                [r[5] for r in rows])
+
+    def __iter__(self):
+        for b, idxs in self.loader.iter_index_batches():
+            p_rows, m_rows, target, weight, pair_idx, n_edges = \
+                self._index_batch_arrays(b, idxs)
             # host-side real-edge count for throughput metering (avoids a
             # device sync on the edge_mask)
-            self.last_batch_edges = sum(
-                self._n_edges[("p", ds.pair_indices[i][0])]
-                + self._n_edges[("m", ds.pair_indices[i][1])] for i in idxs)
+            self.last_batch_edges = n_edges
             yield StoreBatch(p_store=self._p_store[b], m_store=self._m_store[b],
                              p_rows=p_rows, m_rows=m_rows, target=target,
-                             weight=weight, pair_idx=np.asarray(full, np.int32))
+                             weight=weight, pair_idx=pair_idx)

@@ -56,6 +56,12 @@ class TrainConfig:
     # padded graphs once, assemble batches with on-device gathers. None
     # disables; otherwise the HBM byte budget for the stores.
     device_data_budget: Optional[int] = 4_000_000_000
+    # scan-over-steps: when the loader is device-resident, run all of a
+    # bucket's batches in ONE jitted lax.scan dispatch per epoch (k optimizer
+    # steps per launch) instead of one dispatch per batch. Removes per-step
+    # launch overhead entirely; batch order becomes bucket-grouped (buckets
+    # themselves shuffled per epoch).
+    scan_steps: bool = True
 
 
 def _max_batch_width(loader) -> int:
@@ -73,6 +79,14 @@ def _acc_pred(buf, pred, k):
     launch per batch; a distinct executable per pred width (few widths)."""
     pred = jnp.pad(pred, (0, buf.shape[1] - pred.shape[0]))
     return buf.at[k].set(pred)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _acc_block(buf, preds, k0):
+    """buf[k0:k0+k, :w] = preds for a [k, w] block (one launch per bucket
+    megabatch; k0 is a traced operand so offsets don't recompile)."""
+    preds = jnp.pad(preds, ((0, 0), (0, buf.shape[1] - preds.shape[1])))
+    return jax.lax.dynamic_update_slice(buf, preds, (k0, jnp.int32(0)))
 
 
 class _PredAccumulator:
@@ -126,6 +140,8 @@ class Trainer:
         self.opt_state = jax.jit(self.tx.init)(self.params)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._train_scan = self._build_train_scan()
+        self._eval_scan = self._build_eval_scan()
 
     # ------------------------------------------------------------------ steps
     def _build_train_step(self):
@@ -159,6 +175,71 @@ class Trainer:
 
         return step
 
+    def _build_train_scan(self):
+        """k optimizer steps in one dispatch: lax.scan over a MegaBatch's
+        [k, B] row/target/weight arrays, gathering each step's graphs from
+        the bucket's device-resident stores inside the scan body. Per-step
+        semantics (rng split, lr injection, donation) are identical to
+        _build_train_step — with a single-bucket loader the two paths
+        produce the same parameter trajectory."""
+        model, tx = self.model, self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        def scan_steps(params, opt_state, mega, rng, lrs):
+            p_store, m_store = mega.p_store, mega.m_store
+
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                p_rows, m_rows, target, weight, lr = xs
+                rng, step_rng = jax.random.split(rng)
+                protein = jax.tree_util.tree_map(lambda a: a[p_rows], p_store)
+                molecule = jax.tree_util.tree_map(lambda a: a[m_rows], m_store)
+
+                def loss_fn(params):
+                    variables = {"params": params, **self.extra_vars}
+                    pred, _ = model.apply(variables, protein, molecule,
+                                          deterministic=False,
+                                          rngs={"dropout": step_rng})
+                    pred = pred[:, 0].astype(jnp.float32)
+                    loss = (jnp.sum(weight * (pred - target) ** 2)
+                            / jnp.maximum(weight.sum(), 1.0))
+                    return loss, pred
+
+                (_, pred), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                set_learning_rate(opt_state, lr)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), pred
+
+            xs = (mega.p_rows, mega.m_rows, mega.target, mega.weight, lrs)
+            (params, opt_state, rng), preds = jax.lax.scan(
+                body, (params, opt_state, rng), xs)
+            return params, opt_state, preds, rng
+
+        return scan_steps
+
+    def _build_eval_scan(self):
+        model = self.model
+
+        @jax.jit
+        def scan_steps(params, mega):
+            p_store, m_store = mega.p_store, mega.m_store
+
+            def body(_, xs):
+                p_rows, m_rows = xs
+                protein = jax.tree_util.tree_map(lambda a: a[p_rows], p_store)
+                molecule = jax.tree_util.tree_map(lambda a: a[m_rows], m_store)
+                variables = {"params": params, **self.extra_vars}
+                pred, _ = model.apply(variables, protein, molecule,
+                                      deterministic=True)
+                return None, pred[:, 0].astype(jnp.float32)
+
+            _, preds = jax.lax.scan(body, None, (mega.p_rows, mega.m_rows))
+            return preds
+
+        return scan_steps
+
     def _build_eval_step(self):
         model = self.model
 
@@ -172,9 +253,83 @@ class Trainer:
         return step
 
     # ----------------------------------------------------------------- epochs
+    def _use_scan(self, loader) -> bool:
+        return self.config.scan_steps and hasattr(loader, "iter_megabatches")
+
+    def _train_epoch_scan(self, loader, lr, scheduler, epoch, total_train,
+                          unscale, meter):
+        """One dispatch per bucket per epoch (see _build_train_scan)."""
+        buf = jnp.zeros((max(len(loader), 1), _max_batch_width(loader)),
+                        jnp.float32)
+        k0 = 0
+        n_processed = 0
+        deferred = []   # (mask, target, n_real) in dispatch order
+        for mega, edges_per_step in loader.iter_megabatches():
+            k = mega.n_steps
+            # per-step learning rates precomputed host-side: the batch-level
+            # scheduler is a pure function of processed-pair counts, which
+            # the megabatch's weight rows expose before dispatch
+            lrs = np.empty(k, np.float32)
+            mega_real = 0
+            for j in range(k):
+                lrs[j] = lr
+                n_real = int((mega.weight[j] > 0).sum())
+                n_processed += n_real
+                mega_real += n_real
+                deferred.append((mega.weight[j] > 0, mega.target[j], n_real))
+                if scheduler is not None and total_train:
+                    lr = scheduler.step(epoch + n_processed / total_train)
+            self.params, self.opt_state, preds, self.rng = self._train_scan(
+                self.params, self.opt_state, mega, self.rng, lrs)
+            buf = _acc_block(buf, preds, np.int32(k0))
+            k0 += k
+            if meter is not None:
+                meter.step(sum(edges_per_step), mega_real)
+        host = np.asarray(buf)
+        losses, sizes = [], []
+        for row, (mask, target, n_real) in zip(host, deferred):
+            pred_np = row[: len(mask)][mask]
+            target_np = target[mask]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(n_real)
+        return float(np.average(losses, weights=sizes)), lr
+
+    def _eval_epoch_scan(self, loader, unscale):
+        buf = jnp.zeros((max(len(loader), 1), _max_batch_width(loader)),
+                        jnp.float32)
+        k0 = 0
+        deferred = []
+        for mega, _ in loader.iter_megabatches():
+            preds = self._eval_scan(self.params, mega)
+            buf = _acc_block(buf, preds, np.int32(k0))
+            k0 += mega.n_steps
+            for j in range(mega.n_steps):
+                deferred.append((mega.weight[j] > 0, mega.target[j],
+                                 mega.pair_idx[j]))
+        host = np.asarray(buf)
+        losses, sizes = [], []
+        all_pred, all_target, all_idx = [], [], []
+        for row, (mask, target, pair_idx) in zip(host, deferred):
+            pred_np, target_np = row[: len(mask)][mask], target[mask]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(int(mask.sum()))
+            all_pred.append(pred_np)
+            all_target.append(target_np)
+            all_idx.append(pair_idx[mask])
+        return (float(np.average(losses, weights=sizes)),
+                np.concatenate(all_pred), np.concatenate(all_target),
+                np.concatenate(all_idx))
+
     def train_epoch(self, loader: BucketedLoader, lr: float,
                     scheduler=None, epoch: int = 0, total_train: int = 0,
                     unscale=None, meter=None):
+        if self._use_scan(loader):
+            return self._train_epoch_scan(loader, lr, scheduler, epoch,
+                                          total_train, unscale, meter)
         # predictions accumulate in one device buffer until the epoch ends:
         # a single device->host transfer per epoch (see _PredAccumulator)
         n_processed = 0
@@ -207,6 +362,8 @@ class Trainer:
         return float(np.average(losses, weights=sizes)), lr
 
     def eval_epoch(self, loader: BucketedLoader, unscale=None):
+        if self._use_scan(loader):
+            return self._eval_epoch_scan(loader, unscale)
         acc = _PredAccumulator(len(loader), _max_batch_width(loader))
         deferred = []
         for batch in loader:
@@ -302,6 +459,10 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     leakage = split_leakage_report(dataset, train_idx, val_idx, test_idx)
     with open(os.path.join(output_folder, "model_summary.txt"), "w") as f:
         f.write(checkpoints.param_summary(trainer.params))
+    # plain module print, the reference's model_standardprint.txt artifact
+    # (train_model.py:344-349)
+    with open(os.path.join(output_folder, "model_standardprint.txt"), "w") as f:
+        f.write(repr(model))
     if verbose:
         print("Split leakage:", leakage, flush=True)
 

@@ -162,6 +162,59 @@ def test_device_resident_loader_parity(dataset):
     assert isinstance(DeviceResidentLoader.maybe(mk(), 10), BucketedLoader)
 
 
+def test_scan_steps_matches_per_batch(dataset):
+    """scan-over-steps (one lax.scan dispatch per bucket per epoch) must
+    reproduce the per-batch path exactly when there is a single bucket: the
+    rng threading, lr injection, and optimizer updates are step-identical."""
+    from caster_dta_tpu.data.device_cache import DeviceResidentLoader
+    from caster_dta_tpu.train.loop import Trainer
+
+    model = _mk_small_model(dataset)
+    mk = lambda: DeviceResidentLoader(BucketedLoader(
+        dataset, None, max_num=16_000_000, max_batch_size=8,
+        shuffle=True, seed=3))
+    dl_a, dl_b = mk(), mk()
+    assert len(dl_a.loader.buckets()) == 1, "fixture must stay single-bucket"
+    example = next(iter(mk()))
+    tr_a = Trainer(model, TrainConfig(seed=5, scan_steps=True), example)
+    tr_b = Trainer(model, TrainConfig(seed=5, scan_steps=False), example)
+    for _ in range(2):
+        loss_a, _ = tr_a.train_epoch(dl_a, 1e-3)
+        loss_b, _ = tr_b.train_epoch(dl_b, 1e-3)
+        assert loss_a == loss_b
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        tr_a.params, tr_b.params)
+    ev_a = tr_a.eval_epoch(dl_a)
+    ev_b = tr_b.eval_epoch(dl_b)
+    assert ev_a[0] == ev_b[0]
+    np.testing.assert_allclose(ev_a[1], ev_b[1], rtol=1e-6)
+    np.testing.assert_array_equal(ev_a[3], ev_b[3])
+
+
+def test_scan_steps_multibucket_covers_all_pairs(dataset):
+    """With several buckets the megabatch path must still cover every pair
+    exactly once per epoch and train without error."""
+    from caster_dta_tpu.data.device_cache import DeviceResidentLoader
+    from caster_dta_tpu.train.loop import Trainer
+
+    dl = DeviceResidentLoader(BucketedLoader(
+        dataset, None, max_num=200_000, max_batch_size=4,
+        shuffle=True, seed=7, coalesce=False))
+    seen = []
+    for mega, edges in dl.iter_megabatches():
+        assert mega.n_steps == len(edges)
+        for j in range(mega.n_steps):
+            seen.extend(mega.pair_idx[j][mega.weight[j] > 0].tolist())
+    assert sorted(seen) == list(range(len(dataset)))
+
+    model = _mk_small_model(dataset)
+    example = next(iter(dl))
+    tr = Trainer(model, TrainConfig(seed=5, scan_steps=True), example)
+    loss, _ = tr.train_epoch(dl, 1e-3)
+    assert np.isfinite(loss)
+
+
 def _mk_small_model(dataset):
     from caster_dta_tpu.models.joint import make_joint_gnn
 
