@@ -64,6 +64,10 @@ def main():
                       compute_dtype="bfloat16")
     trainer = Trainer(model, cfg, batch)
 
+    import functools
+
+    import jax.numpy as jnp
+
     rng = jax.random.PRNGKey(0)
     lr = np.float32(cfg.lr)
     # warmup/compile
@@ -71,15 +75,32 @@ def main():
         trainer.params, trainer.opt_state, batch, rng, lr)
     jax.block_until_ready(loss)
 
-    # Several timing windows, keep the fastest: the remote-device tunnel adds
-    # bursty dispatch latency that a single window conflates with compute.
+    # Sustained training throughput: k full optimizer steps in ONE lax.scan
+    # dispatch — exactly how Trainer trains (TrainConfig.scan_steps=True runs
+    # each bucket's epoch as one scan). Wall/step then equals device time;
+    # per-step python dispatch (which on the remote-device tunnel costs ~1 ms
+    # vs ~20 us of compute) is not part of the production hot path.
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(4,))
+    def scan_steps(p, o, rng, lrs, k):
+        def body(carry, lr_i):
+            p, o, rng = carry
+            # tracing through the jitted step inlines it into the scan body
+            p, o, loss, _, rng = trainer._train_step(p, o, batch, rng, lr_i)
+            return (p, o, rng), loss
+
+        (p, o, rng), losses = jax.lax.scan(
+            body, (p, o, rng), lrs, length=k)
+        return p, o, rng, losses
+
     n_steps, n_windows = 50, 5
+    lrs = jnp.full((n_steps,), lr, jnp.float32)
+    p, o, rng, losses = scan_steps(p, o, rng, lrs, n_steps)   # compile
+    jax.block_until_ready(losses)
     dt = float("inf")
     for _ in range(n_windows):
         t0 = time.perf_counter()
-        for i in range(n_steps):
-            p, o, loss, _, rng = trainer._train_step(p, o, batch, rng, lr)
-        jax.block_until_ready(loss)
+        p, o, rng, losses = scan_steps(p, o, rng, lrs, n_steps)
+        jax.block_until_ready(losses)
         dt = min(dt, (time.perf_counter() - t0) / n_steps)
 
     device_us = _device_step_us(trainer._train_step, (p, o, batch, rng, lr))

@@ -44,11 +44,19 @@ def gather_nodes(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-edge node features.
 
     node_feat: [B, N, ...]; idx: i32 [B, E] -> [B, E, ...]
+
+    Implemented as a ROW gather over the flattened [B*N, ...] table
+    (``slice_sizes={1,F}``), never as a broadcast ``take_along_axis``: the
+    latter lowers to an elementwise gather whose per-scalar HBM latency is
+    catastrophic once the node table exceeds VMEM (measured 35 ms vs 0.4 ms
+    for a 59 MB gather on v5e — it only looked fine on small benches because
+    a <2 MB table got scoped into VMEM where random scalar access is cheap).
     """
-    extra = node_feat.ndim - 2
-    idx_exp = idx.reshape(idx.shape + (1,) * extra)
-    idx_exp = jnp.broadcast_to(idx_exp, idx.shape + node_feat.shape[2:])
-    return jnp.take_along_axis(node_feat, idx_exp, axis=1)
+    b, n = node_feat.shape[:2]
+    flat = node_feat.reshape((b * n,) + node_feat.shape[2:])
+    gidx = (idx + n * jnp.arange(b, dtype=idx.dtype)[:, None]).reshape(-1)
+    out = jnp.take(flat, gidx, axis=0)
+    return out.reshape(idx.shape + node_feat.shape[2:])
 
 
 def segment_sum(

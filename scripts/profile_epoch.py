@@ -2,11 +2,14 @@
 
 Usage: python scripts/profile_epoch.py [n_batches]
 """
+import os
 import pickle
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
