@@ -31,12 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from caster_dta_tpu.ops import segment as xla_segment
 
-BN = 128   # destination rows per block
-CE = 128   # edges per chunk
+BN = 128   # destination rows per block (sorted/windowed kernels)
+CE = 512   # edges per chunk (sorted/windowed kernels)
+BND = 256  # destination rows per block, dense-scan kernel (fewer passes)
+CED = 1024  # edges per chunk, dense-scan kernel (fewer DMA round trips)
 
 
 def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
                     acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
+    """Double-buffered: chunk k+1's HBM->VMEM DMA overlaps chunk k's
+    one-hot matmul (msg_vmem/dst_vmem/sems carry a leading [2] buffer dim)."""
     b = pl.program_id(0)
     r = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -49,28 +53,237 @@ def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, CE), 0) + r * BN
 
-    def body(k, carry):
+    def start_copy(k, slot):
         offset = aligned_start + k * CE
         c_msg = pltpu.make_async_copy(
-            msgs_ref.at[b, pl.ds(offset, CE), :], msg_vmem, msg_sem)
+            msgs_ref.at[b, pl.ds(offset, CE), :], msg_vmem.at[slot], msg_sem.at[slot])
         c_msg.start()
         c_dst = pltpu.make_async_copy(
-            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem, dst_sem)
+            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem.at[slot], dst_sem.at[slot])
         c_dst.start()
-        c_dst.wait()
-        onehot = (dst_vmem[...] == row_ids).astype(jnp.float32)
-        c_msg.wait()
+        return c_msg, c_dst
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_copy(0, 0)
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            start_copy(k + 1, 1 - slot)
+
+        # wait on this slot's DMAs (reconstruct the copy descriptors)
+        offset = aligned_start + k * CE
+        pltpu.make_async_copy(
+            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem.at[slot],
+            dst_sem.at[slot]).wait()
+        pltpu.make_async_copy(
+            msgs_ref.at[b, pl.ds(offset, CE), :], msg_vmem.at[slot],
+            msg_sem.at[slot]).wait()
+        onehot = (dst_vmem[slot] == row_ids).astype(jnp.float32)
         # HIGHEST precision: default f32 dot lowers to ONE bf16 MXU pass,
         # which rounds the messages' mantissa (~2^-8 relative error observed
         # on v5e). The one-hot operand is exact either way; full-precision
         # passes keep the segment-sum bit-comparable to XLA segment_sum.
         acc_ref[...] += jax.lax.dot(
-            onehot, msg_vmem[...], preferred_element_type=jnp.float32,
+            onehot, msg_vmem[slot], preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
     out_ref[0, :, :] = acc_ref[...]
+
+
+def _segment_kernel_t(block_ptr_ref, dst_ref, msgs_ref, out_ref,
+                      acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
+    """Feature-major variant: messages arrive [B, Fp, E] so each chunk DMA
+    moves [Fp, CE] — no 128-lane feature padding (the row-major layout pads
+    F to 128 lanes, a 4.5x traffic blowup at F=28). The one-hot contraction
+    runs over the edge axis: acc[Fp, BN] += msg[Fp, CE] . onehot[BN, CE]."""
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    start = block_ptr_ref[b * (nb + 1) + r]
+    end = block_ptr_ref[b * (nb + 1) + r + 1]
+    aligned_start = (start // CE) * CE
+    n_chunks = (end - aligned_start + CE - 1) // CE
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, CE), 0) + r * BN
+
+    def start_copy(k, slot):
+        offset = aligned_start + k * CE
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CE)], msg_vmem.at[slot],
+            msg_sem.at[slot]).start()
+        pltpu.make_async_copy(
+            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem.at[slot],
+            dst_sem.at[slot]).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_copy(0, 0)
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            start_copy(k + 1, 1 - slot)
+
+        offset = aligned_start + k * CE
+        pltpu.make_async_copy(
+            dst_ref.at[b, 0:1, pl.ds(offset, CE)], dst_vmem.at[slot],
+            dst_sem.at[slot]).wait()
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CE)], msg_vmem.at[slot],
+            msg_sem.at[slot]).wait()
+        onehot = (dst_vmem[slot] == row_ids).astype(jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            msg_vmem[slot], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, :] = acc_ref[...]
+
+
+def _segment_kernel_dense(dst_ref, msgs_ref, out_ref,
+                          acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem,
+                          *, n_chunks: int):
+    """Unsorted-ids variant: every (graph, node-block) scans ALL edge chunks.
+    No sort/permute of the 59 MB row array is needed — the rows stream
+    sequentially at HBM bandwidth (random row permutes measured ~10 GB/s on
+    v5e, ~6x slower than the nb redundant streaming passes this costs)."""
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BND, CED), 0) + r * BND
+
+    def start_copy(k, slot):
+        offset = k * CED
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
+            msg_sem.at[slot]).start()
+        pltpu.make_async_copy(
+            dst_ref.at[b, 0:1, pl.ds(offset, CED)], dst_vmem.at[slot],
+            dst_sem.at[slot]).start()
+
+    start_copy(0, 0)
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            start_copy(k + 1, 1 - slot)
+
+        offset = k * CED
+        pltpu.make_async_copy(
+            dst_ref.at[b, 0:1, pl.ds(offset, CED)], dst_vmem.at[slot],
+            dst_sem.at[slot]).wait()
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
+            msg_sem.at[slot]).wait()
+        onehot = (dst_vmem[slot] == row_ids).astype(jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            msg_vmem[slot], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, :] = acc_ref[...]
+
+
+def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
+                              num_segments: int) -> jnp.ndarray:
+    """Sum rows [B, E, F] into [B, num_segments, F] by UNSORTED per-graph ids
+    (no masking — every row contributes; the transpose of a row gather).
+    Feature-major dense-scan kernel; f32 accumulation."""
+    b, e, f_in = rows.shape
+    rows = rows.astype(jnp.float32)
+    fp = max(((f_in + 7) // 8) * 8, 8)
+    n_pad = ((num_segments + BND - 1) // BND) * BND
+    nb = n_pad // BND
+    e_pad = ((e + CED - 1) // CED) * CED
+    msgs_t = jnp.pad(rows, ((0, 0), (0, e_pad - e), (0, fp - f_in)))
+    msgs_t = msgs_t.transpose(0, 2, 1)                      # [B, Fp, E_pad]
+    # slack rows are zero, so their id can collide with a real segment
+    ids = jnp.pad(ids, ((0, 0), (0, e_pad - e)), constant_values=0)
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = pl.pallas_call(
+        functools.partial(_segment_kernel_dense, n_chunks=e_pad // CED),
+        out_shape=jax.ShapeDtypeStruct((b, fp, n_pad), jnp.float32),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, fp, BND), lambda bi, ri: (bi, 0, ri)),
+        scratch_shapes=[
+            pltpu.VMEM((fp, BND), jnp.float32),
+            pltpu.VMEM((2, fp, CED), jnp.float32),
+            pltpu.VMEM((2, 1, CED), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ids[:, None, :], msgs_t)
+    return out.transpose(0, 2, 1)[:, :num_segments, :f_in]
+
+
+def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
+                             num_nodes: int) -> jnp.ndarray:
+    """Feature-major path: messages [B, E, F] f32 (masked), dst [B, E] sorted
+    -> [B, N, F]. Transposes to [B, Fp, E] (Fp = F rounded to 8 sublanes, a
+    ~1.1x pad at F=28 vs 4.5x for 128-lane padding) before the kernel."""
+    b, e, f_in = messages.shape
+    fp = max(((f_in + 7) // 8) * 8, 8)
+    n_pad = ((num_nodes + BN - 1) // BN) * BN
+    nb = n_pad // BN
+    e_pad = ((e + CE - 1) // CE) * CE + CE
+    msgs_t = jnp.pad(messages, ((0, 0), (0, e_pad - e), (0, fp - f_in)))
+    msgs_t = msgs_t.transpose(0, 2, 1)                      # [B, Fp, E_pad]
+    dst = jnp.pad(dst, ((0, 0), (0, e_pad - e)), constant_values=num_nodes - 1)
+
+    boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * BN
+    block_ptr = jax.vmap(
+        lambda d: jnp.searchsorted(d, boundaries, side="left"))(dst)
+    block_ptr = block_ptr.astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # dst stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # messages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, fp, BN), lambda bi, ri, ptr: (bi, 0, ri),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((fp, BN), jnp.float32),
+            pltpu.VMEM((2, fp, CE), jnp.float32),
+            pltpu.VMEM((2, 1, CE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = pl.pallas_call(
+        _segment_kernel_t,
+        out_shape=jax.ShapeDtypeStruct((b, fp, n_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(block_ptr, dst[:, None, :], msgs_t)
+    return out.transpose(0, 2, 1)[:, :num_nodes, :f_in]
 
 
 def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
@@ -103,10 +316,10 @@ def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BN, f), jnp.float32),
-            pltpu.VMEM((CE, f), jnp.float32),
-            pltpu.VMEM((1, CE), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CE, f), jnp.float32),
+            pltpu.VMEM((2, 1, CE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -124,7 +337,17 @@ def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
 def pallas_segment_sum(messages, dst, edge_mask, num_nodes: int):
     """Drop-in for ops.segment.segment_sum on [B, E, F] f32 messages."""
     masked = jnp.where(edge_mask[..., None], messages, 0.0)
-    return _pallas_segment_sum_2d(masked, dst, num_nodes)
+    return _pallas_segment_sum_2d_t(masked, dst, num_nodes)
+
+
+def sorted_segment_sum_rows(rows: jnp.ndarray, ids_sorted: jnp.ndarray,
+                            num_segments: int) -> jnp.ndarray:
+    """Sum rows [B, E, F] into [B, num_segments, F] by per-graph sorted ids
+    (NO masking — every row contributes, matching a scatter-add transpose).
+    Feature-major Pallas kernel; used by ops.segment gather backward.
+    Accumulation is always f32 (kernel scratch dtype)."""
+    return _pallas_segment_sum_2d_t(rows.astype(jnp.float32), ids_sorted,
+                                    num_segments)
 
 
 def _fwd(messages, dst, edge_mask, num_nodes):

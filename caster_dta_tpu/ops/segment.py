@@ -25,19 +25,72 @@ one-hot pass).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Tri-state dispatch override: None = auto (currently: always the XLA sorted
-# scatter — measured fastest end-to-end on v5e, see module docstring),
+# Tri-state dispatch override: None = auto (feature-major windowed one-hot
+# Pallas kernel on TPU — measured 3.2x over the XLA sorted scatter at the
+# Davis bucket shapes, see ops/pallas_segment.py; XLA elsewhere),
 # True = always Pallas (interpret mode off-TPU), False = never.
 USE_PALLAS = None
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform in ("tpu", "axon")
 
 
 def _pallas_dispatch(messages: jnp.ndarray) -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
-    return False
+    return _on_tpu()
+
+
+def _gather_rows(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    b, n = node_feat.shape[:2]
+    flat = node_feat.reshape((b * n,) + node_feat.shape[2:])
+    gidx = (idx + n * jnp.arange(b, dtype=idx.dtype)[:, None]).reshape(-1)
+    out = jnp.take(flat, gidx, axis=0)
+    return out.reshape(idx.shape + node_feat.shape[2:])
+
+
+@jax.custom_vjp
+def _gather_rows_seg(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return _gather_rows(node_feat, idx)
+
+
+def _gather_rows_seg_fwd(node_feat, idx):
+    return _gather_rows(node_feat, idx), (idx, node_feat.shape[1:])
+
+
+def _gather_rows_seg_bwd(res, ct):
+    idx, feat_shape = res
+    n = feat_shape[0]
+    trailing = feat_shape[1:]
+    b, e = idx.shape
+    # Transpose of a row gather is a scatter-add; XLA's TPU scatter is
+    # row-serial (~7.6 ms for 59 MB at the Davis bucket shape), and sorting
+    # the cotangent rows first is no better (random row permutes run at
+    # ~10 GB/s). The dense-scan one-hot kernel streams the rows N/BND times
+    # at full HBM bandwidth instead (2.2 ms at the same shape). Its pass
+    # count grows with N, so very tall node tables fall back to XLA scatter
+    # (crossover measured at N≈3072 on v5e).
+    ct_rows = ct.reshape(b, e, -1)
+    if n <= 2560:
+        from caster_dta_tpu.ops import pallas_segment
+
+        grad = pallas_segment.unsorted_segment_sum_rows(ct_rows, idx, n)
+    else:
+        flat = ct_rows.astype(jnp.float32).reshape(b * e, -1)
+        gidx = (idx + n * jnp.arange(b, dtype=idx.dtype)[:, None]).reshape(-1)
+        grad = jnp.zeros((b * n, flat.shape[-1]), jnp.float32).at[gidx].add(flat)
+    grad = grad.reshape((b, n) + trailing).astype(ct.dtype)
+    return grad, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_rows_seg.defvjp(_gather_rows_seg_fwd, _gather_rows_seg_bwd)
 
 
 def gather_nodes(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -51,12 +104,14 @@ def gather_nodes(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     catastrophic once the node table exceeds VMEM (measured 35 ms vs 0.4 ms
     for a 59 MB gather on v5e — it only looked fine on small benches because
     a <2 MB table got scoped into VMEM where random scalar access is cheap).
+
+    On TPU the gather carries a custom VJP that replaces the transpose
+    scatter-add with sort + the Pallas windowed segment-sum (see
+    ``_gather_rows_seg_bwd``).
     """
-    b, n = node_feat.shape[:2]
-    flat = node_feat.reshape((b * n,) + node_feat.shape[2:])
-    gidx = (idx + n * jnp.arange(b, dtype=idx.dtype)[:, None]).reshape(-1)
-    out = jnp.take(flat, gidx, axis=0)
-    return out.reshape(idx.shape + node_feat.shape[2:])
+    if _pallas_dispatch(node_feat) and jnp.issubdtype(node_feat.dtype, jnp.floating):
+        return _gather_rows_seg(node_feat, idx)
+    return _gather_rows(node_feat, idx)
 
 
 def segment_sum(
@@ -75,9 +130,9 @@ def segment_sum(
     if _pallas_dispatch(messages):
         from caster_dta_tpu.ops import pallas_segment
 
-        flat = messages.reshape(b, e, -1)
+        flat = messages.reshape(b, e, -1).astype(jnp.float32)
         out = pallas_segment.pallas_segment_sum(flat, dst, edge_mask, num_nodes)
-        return out.reshape((b, num_nodes) + trailing)
+        return out.reshape((b, num_nodes) + trailing).astype(messages.dtype)
     mask = edge_mask.reshape((b, e) + (1,) * len(trailing))
     flat = jnp.where(mask, messages, 0).reshape((b * e,) + trailing)
     seg_ids = (dst + num_nodes * jnp.arange(b, dtype=dst.dtype)[:, None]).reshape(-1)
