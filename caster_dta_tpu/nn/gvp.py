@@ -37,19 +37,20 @@ SV = Tuple[jnp.ndarray, jnp.ndarray]
 _MERGED_ENDPOINT_GATHER = True
 
 # Fused Pallas message-MLP dispatch (ops/pallas_gvp_message.py). Tri-state:
-# None = auto (directly-attached TPU only), True = force (tests use this on
-# CPU via interpret mode), False = never. Auto excludes the remote-device
-# 'axon' tunnel backend: there the fused path lowers DEVICE step time
-# (298 -> 278 us/step at the flagship bucket) but each tpu_custom_call
-# disrupts the tunnel's async step pipelining, costing far more wall time
-# than the kernels save — measured 0.59 -> 0.9-1.4 ms/step end-to-end.
+# None = auto (currently: never), True = force (tests use this on CPU via
+# interpret mode), False = never. The fused kernel won when the XLA path's
+# endpoint gather was pathological (elementwise take_along_axis lowering);
+# with the row-gather + dense-scan-scatter segment ops the unfused path's
+# single [B*E, K] message matmuls use the MXU far better than per-block
+# kernel invocations — measured 2.1x faster per train step at the Davis
+# (128, 768, 2048) bucket on v5e. The kernel stays available and tested.
 USE_FUSED_MESSAGE = None
 
 
 def _fused_message_dispatch() -> bool:
     if USE_FUSED_MESSAGE is not None:
         return USE_FUSED_MESSAGE
-    return jax.devices()[0].platform == "tpu"
+    return False
 
 
 def tuple_sum(*args: SV) -> SV:
