@@ -16,10 +16,9 @@ import time
 import numpy as np
 
 
-def _device_step_us(step, args, n=20):
-    """On-device jit_step time from a profiler trace: immune to the
-    remote-device tunnel's bursty dispatch latency (wall time on the tunnel
-    drifts by up to 2x between runs; device time is stable to ~1%)."""
+def _device_step_ms(step, args, n=20):
+    """On-device jit_step time (ms) from a profiler trace. Cross-check for
+    the scan wall time; trace durations are microseconds, so /1e3 -> ms."""
     import glob
     import gzip
     import tempfile
@@ -103,7 +102,7 @@ def main():
         jax.block_until_ready(losses)
         dt = min(dt, (time.perf_counter() - t0) / n_steps)
 
-    device_us = _device_step_us(trainer._train_step, (p, o, batch, rng, lr))
+    device_ms = _device_step_ms(trainer._train_step, (p, o, batch, rng, lr))
 
     p_edges = int(np.asarray(batch.protein.edge_mask).sum())
     m_edges = int(np.asarray(batch.molecule.edge_mask).sum())
@@ -123,7 +122,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "extra": {
             "step_time_ms": round(dt * 1e3, 2),
-            "device_step_us": device_us,
+            "device_step_ms": device_ms,
             "pairs_per_s": round(pairs_per_s, 1),
             "batch": {"B": B, "N_p": N_P, "E_p": E_P, "N_m": N_M, "E_m": E_M},
             "real_edges_per_batch": p_edges + m_edges,
