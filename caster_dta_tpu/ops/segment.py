@@ -11,17 +11,14 @@ segment ids ``b * N + dst`` are globally sorted, so ``jax.ops.segment_sum``
 can be given ``indices_are_sorted=True`` and XLA lowers it to an efficient
 sorted scatter-add.
 
-A Pallas kernel that reformulates the scatter as blocked one-hot matmuls on
-the MXU lives in ops/pallas_segment.py; this module is the always-correct
-reference path the kernels are tested against. Measured end-to-end on v5e
-(full jitted train step at the flagship BindingDB bucket, B32/E4096/F148),
-the XLA sorted scatter-add beats the one-hot MXU kernel ~1.6x — the one-hot
-formulation burns O(N·E·F) MXU FLOPs where the sorted scatter streams
-O(E·F) bytes, and at mean degree ~8 the FLOP waste exceeds the scatter's
-overhead. The XLA path is therefore the default; set ``USE_PALLAS = True``
-to force the Pallas kernel (it remains correct and tested, and is the
-building block for fused variants where the message matmul amortizes the
-one-hot pass).
+The Pallas kernels that reformulate scatter/segment-sum as blocked one-hot
+matmuls on the MXU live in ops/pallas_segment.py; this module holds the
+always-correct XLA reference paths the kernels are tested against, and
+dispatches to the kernels on TPU. Measured on v5e at the Davis hot bucket
+(B128, N768, E4096, F28): feature-major windowed kernel 1.5 ms vs XLA
+sorted segment-sum 4.6 ms for the forward aggregation; dense-scan kernel
+1.4 ms vs XLA scatter-add 7.6 ms for the gather transpose. Set
+``USE_PALLAS`` to force either path.
 """
 from __future__ import annotations
 
@@ -76,9 +73,11 @@ def _gather_rows_seg_bwd(res, ct):
     # ~10 GB/s). The dense-scan one-hot kernel streams the rows N/BND times
     # at full HBM bandwidth instead (2.2 ms at the same shape). Its pass
     # count grows with N, so very tall node tables fall back to XLA scatter
-    # (crossover measured at N≈3072 on v5e).
+    # (the 3-pass split matmul keeps dense ahead
+    # through N=3072, the reference's protein length cap; N>4096 is a
+    # safety fallback only).
     ct_rows = ct.reshape(b, e, -1)
-    if n <= 2560:
+    if n <= 4096:
         from caster_dta_tpu.ops import pallas_segment
 
         grad = pallas_segment.unsorted_segment_sum_rows(ct_rows, idx, n)
@@ -106,7 +105,7 @@ def gather_nodes(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     a <2 MB table got scoped into VMEM where random scalar access is cheap).
 
     On TPU the gather carries a custom VJP that replaces the transpose
-    scatter-add with sort + the Pallas windowed segment-sum (see
+    scatter-add with the Pallas dense-scan segment-sum (see
     ``_gather_rows_seg_bwd``).
     """
     if _pallas_dispatch(node_feat) and jnp.issubdtype(node_feat.dtype, jnp.floating):
