@@ -97,7 +97,8 @@ def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
 
 
 def _segment_kernel_t(block_ptr_ref, dst_ref, msgs_ref, out_ref,
-                      acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
+                      acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem,
+                      *, n_split: int = 3):
     """Feature-major variant: messages arrive [B, Fp, E] so each chunk DMA
     moves [Fp, CE] — no 128-lane feature padding (the row-major layout pads
     F to 128 lanes, a 4.5x traffic blowup at F=28). The one-hot contraction
@@ -141,22 +142,13 @@ def _segment_kernel_t(block_ptr_ref, dst_ref, msgs_ref, out_ref,
         pltpu.make_async_copy(
             msgs_ref.at[b, :, pl.ds(offset, CE)], msg_vmem.at[slot],
             msg_sem.at[slot]).wait()
-        onehot = (dst_vmem[slot] == row_ids).astype(jnp.float32)
-        # exact 8+8+8-bit mantissa split: see _segment_kernel_dense
-        msg = msg_vmem[slot]
-        hi = msg.astype(jnp.bfloat16)
-        r1 = msg - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        oh_bf16 = onehot.astype(jnp.bfloat16)
+        # exact mantissa split (1 pass for bf16 inputs, 3 for f32):
+        # see _segment_kernel_dense
+        oh_bf16 = (dst_vmem[slot] == row_ids).astype(jnp.bfloat16)
         dims = (((1,), (1,)), ((), ()))
-        acc_ref[...] += (
-            jax.lax.dot_general(hi, oh_bf16, dims,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(mid, oh_bf16, dims,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo, oh_bf16, dims,
-                                  preferred_element_type=jnp.float32))
+        for part in _mantissa_parts(msg_vmem[slot], n_split):
+            acc_ref[...] += jax.lax.dot_general(
+                part, oh_bf16, dims, preferred_element_type=jnp.float32)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -227,13 +219,80 @@ def _segment_kernel_dense(dst_ref, msgs_ref, out_ref,
     out_ref[0, :, :] = acc_ref[...]
 
 
+def _mantissa_parts(x: jnp.ndarray, n_split: int):
+    """Exact bf16 decomposition of x (f32: 3 parts reproduce the full 24-bit
+    mantissa; bf16 input: 1 part, exact by construction)."""
+    if n_split == 1:
+        return [x.astype(jnp.bfloat16)]
+    x = x.astype(jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return [hi, mid, lo]
+
+
+def _scatter_fullN_kernel(ids_ref, msgs_ref, out_ref, acc_ref,
+                          msg_vmem, ids_vmem, msg_sem, ids_sem,
+                          *, n_chunks: int, np_: int, n_split: int):
+    """Single-pass unsorted scatter: acc[Fp, Np] lives in VMEM for the whole
+    graph; every edge chunk is streamed exactly once (the dense-scan kernel
+    streams all edges once per 256-row node block, i.e. Np/256 times)."""
+    b = pl.program_id(0)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, CED), 0)
+
+    def start_copy(k, slot):
+        offset = k * CED
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
+            msg_sem.at[slot]).start()
+        pltpu.make_async_copy(
+            ids_ref.at[b, 0:1, pl.ds(offset, CED)], ids_vmem.at[slot],
+            ids_sem.at[slot]).start()
+
+    start_copy(0, 0)
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            start_copy(k + 1, 1 - slot)
+
+        offset = k * CED
+        pltpu.make_async_copy(
+            ids_ref.at[b, 0:1, pl.ds(offset, CED)], ids_vmem.at[slot],
+            ids_sem.at[slot]).wait()
+        pltpu.make_async_copy(
+            msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
+            msg_sem.at[slot]).wait()
+        onehot = (ids_vmem[slot] == row_ids).astype(jnp.bfloat16)  # [Np, CED]
+        dims = (((1,), (1,)), ((), ()))  # contract the edge axis
+        for part in _mantissa_parts(msg_vmem[slot], n_split):
+            acc_ref[...] += jax.lax.dot_general(
+                part, onehot, dims, preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, :] = acc_ref[...]
+
+
 def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
                               num_segments: int) -> jnp.ndarray:
     """Sum rows [B, E, F] into [B, num_segments, F] by UNSORTED per-graph ids
     (no masking — every row contributes; the transpose of a row gather).
-    Feature-major dense-scan kernel; f32 accumulation."""
+
+    bf16 rows use a single exact MXU pass; f32 rows use the exact 3-pass
+    mantissa split. When the whole [Fp, Np] accumulator fits in VMEM the
+    single-pass full-N kernel streams every edge chunk exactly once;
+    otherwise the dense-scan kernel makes Np/256 passes. f32 accumulation
+    either way; result in f32."""
     b, e, f_in = rows.shape
-    rows = rows.astype(jnp.float32)
+    if rows.dtype not in (jnp.bfloat16, jnp.float32):
+        rows = rows.astype(jnp.float32)
+    n_split = 1 if rows.dtype == jnp.bfloat16 else 3
     fp = max(((f_in + 7) // 8) * 8, 8)
     n_pad = ((num_segments + BND - 1) // BND) * BND
     nb = n_pad // BND
@@ -244,8 +303,36 @@ def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
     ids = jnp.pad(ids, ((0, 0), (0, e_pad - e)), constant_values=0)
 
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    n_chunks = e_pad // CED
+    itemsize = 2 if rows.dtype == jnp.bfloat16 else 4
+    # VMEM budget for the full-N kernel: accumulator + onehot intermediate
+    # + double-buffered chunks (~16 MB/core total on v5e)
+    fulln_vmem = (fp * n_pad * 4 + n_pad * CED * 3
+                  + 2 * fp * CED * itemsize + 2 * CED * 4)
+    if fulln_vmem <= 8_000_000:
+        out = pl.pallas_call(
+            functools.partial(_scatter_fullN_kernel, n_chunks=n_chunks,
+                              np_=n_pad, n_split=n_split),
+            out_shape=jax.ShapeDtypeStruct((b, fp, n_pad), jnp.float32),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, fp, n_pad), lambda bi: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((fp, n_pad), jnp.float32),
+                pltpu.VMEM((2, fp, CED), rows.dtype),
+                pltpu.VMEM((2, 1, CED), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(ids[:, None, :], msgs_t)
+        return out.transpose(0, 2, 1)[:, :num_segments, :f_in]
+
     out = pl.pallas_call(
-        functools.partial(_segment_kernel_dense, n_chunks=e_pad // CED),
+        functools.partial(_segment_kernel_dense, n_chunks=n_chunks),
         out_shape=jax.ShapeDtypeStruct((b, fp, n_pad), jnp.float32),
         grid=(b, nb),
         in_specs=[
@@ -261,16 +348,20 @@ def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(ids[:, None, :], msgs_t)
+    )(ids[:, None, :], msgs_t.astype(jnp.float32))
     return out.transpose(0, 2, 1)[:, :num_segments, :f_in]
 
 
 def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
                              num_nodes: int) -> jnp.ndarray:
-    """Feature-major path: messages [B, E, F] f32 (masked), dst [B, E] sorted
-    -> [B, N, F]. Transposes to [B, Fp, E] (Fp = F rounded to 8 sublanes, a
-    ~1.1x pad at F=28 vs 4.5x for 128-lane padding) before the kernel."""
+    """Feature-major path: messages [B, E, F] (masked; bf16 takes one exact
+    MXU pass, f32 the exact 3-pass mantissa split), dst [B, E] sorted
+    -> [B, N, F] f32. Transposes to [B, Fp, E] (Fp = F rounded to 8 sublanes,
+    a ~1.1x pad at F=28 vs 4.5x for 128-lane padding) before the kernel."""
     b, e, f_in = messages.shape
+    if messages.dtype not in (jnp.bfloat16, jnp.float32):
+        messages = messages.astype(jnp.float32)
+    n_split = 1 if messages.dtype == jnp.bfloat16 else 3
     fp = max(((f_in + 7) // 8) * 8, 8)
     n_pad = ((num_nodes + BN - 1) // BN) * BN
     nb = n_pad // BN
@@ -295,7 +386,7 @@ def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((fp, BN), jnp.float32),
-            pltpu.VMEM((2, fp, CE), jnp.float32),
+            pltpu.VMEM((2, fp, CE), msgs_t.dtype),
             pltpu.VMEM((2, 1, CE), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -304,7 +395,7 @@ def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
 
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     out = pl.pallas_call(
-        _segment_kernel_t,
+        functools.partial(_segment_kernel_t, n_split=n_split),
         out_shape=jax.ShapeDtypeStruct((b, fp, n_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -372,19 +463,103 @@ def sorted_segment_sum_rows(rows: jnp.ndarray, ids_sorted: jnp.ndarray,
     (NO masking — every row contributes, matching a scatter-add transpose).
     Feature-major Pallas kernel; used by ops.segment gather backward.
     Accumulation is always f32 (kernel scratch dtype)."""
-    return _pallas_segment_sum_2d_t(rows.astype(jnp.float32), ids_sorted,
-                                    num_segments)
+    return _pallas_segment_sum_2d_t(rows, ids_sorted, num_segments)
 
 
 def _fwd(messages, dst, edge_mask, num_nodes):
-    return pallas_segment_sum(messages, dst, edge_mask, num_nodes), (dst, edge_mask)
+    # zero-size sentinel carries the message dtype (a raw dtype is not a
+    # valid custom_vjp residual)
+    return (pallas_segment_sum(messages, dst, edge_mask, num_nodes),
+            (dst, edge_mask, jnp.zeros((0,), messages.dtype)))
 
 
 def _bwd(num_nodes, res, g):
-    dst, edge_mask = res
-    grad_msgs = xla_segment.gather_nodes(g, dst)
+    dst, edge_mask, mdt_arr = res
+    mdt = mdt_arr.dtype
+    # cast the cotangent down to the message dtype BEFORE the gather: the
+    # values carry message precision anyway and a bf16 gather takes one
+    # exact one-hot MXU pass instead of the 3-pass f32 mantissa split
+    grad_msgs = xla_segment.gather_nodes(g.astype(mdt), dst)
     grad_msgs = jnp.where(edge_mask[..., None], grad_msgs, 0.0)
-    return grad_msgs, None, None
+    return grad_msgs.astype(mdt), None, None
 
 
 pallas_segment_sum.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# One-hot MXU gather: out[b, e, :] = table[b, idx[b, e], :]
+#
+# XLA's row gather is per-row latency-bound (~2 ns/row on v5e regardless of
+# dtype or index order — 259 us for 131K 56-byte rows). Reformulated as a
+# blocked one-hot matmul with the whole (feature-major) node table resident
+# in VMEM, the same gather is MXU-bound: ~E*Np*Fp MACs per graph, tens of us
+# at the training bucket shapes. bf16 tables take one exact pass; f32 tables
+# use the exact 3-pass bf16 mantissa split (the one-hot operand selects a
+# single row, so each pass is exact and the f32 sum reconstructs the value).
+# ---------------------------------------------------------------------------
+
+CEG = 512  # edges per output block for the one-hot gather
+
+
+def _onehot_gather_kernel(idx_ref, table_ref, out_ref, *, np_: int,
+                          n_split: int):
+    idx = idx_ref[0]                                          # [1, CEG]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (np_, CEG), 0)
+    onehot = (iota == idx).astype(jnp.bfloat16)               # [Np, CEG]
+    t = table_ref[0]                                          # [Fp, Np]
+    # natural matmul form (lhs contracts its LAST dim, rhs its FIRST):
+    # Mosaic inserts no operand relayouts. Output stays feature-major
+    # [Fp, CEG]; the wrapper transposes outside (measured 174 us total vs
+    # 412 us for the lhs-transposed row-major variant at B32/N512/E8192).
+    dims = (((1,), (0,)), ((), ()))
+    acc = jnp.zeros((t.shape[0], CEG), jnp.float32)
+    for part in _mantissa_parts(t, n_split):
+        acc += jax.lax.dot_general(part, onehot, dims,
+                                   preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def onehot_gather_fits(n: int, f_flat: int, dtype) -> bool:
+    """Whether the one-hot gather kernel dispatch is profitable/feasible."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    np_ = ((n + 127) // 128) * 128
+    fp = max(((f_flat + 7) // 8) * 8, 8)
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    n_split = 1 if dtype == jnp.bfloat16 else 3
+    vmem = (fp * np_ * itemsize          # resident table block
+            + np_ * CEG * 3              # onehot + bool intermediate
+            + CEG * fp * 8)              # acc + out block
+    # past ~500K MAC/row-gathered the MXU passes lose to XLA's ~2ns/row
+    return vmem <= 8_000_000 and np_ * fp * n_split <= 1_500_000
+
+
+def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of table [B, N, F] by idx [B, E] -> [B, E, F] as blocked
+    one-hot matmuls on the MXU (forward only; pair with
+    unsorted_segment_sum_rows for the VJP)."""
+    b, n, f_in = table.shape
+    e = idx.shape[1]
+    dtype = table.dtype
+    n_split = 1 if dtype == jnp.bfloat16 else 3
+    fp = max(((f_in + 7) // 8) * 8, 8)
+    np_ = ((n + 127) // 128) * 128
+    e_pad = ((e + CEG - 1) // CEG) * CEG
+    t = jnp.pad(table, ((0, 0), (0, np_ - n), (0, fp - f_in)))
+    t = t.transpose(0, 2, 1)                                  # [B, Fp, Np]
+    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, e_pad - e)))
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = pl.pallas_call(
+        functools.partial(_onehot_gather_kernel, np_=np_, n_split=n_split),
+        out_shape=jax.ShapeDtypeStruct((b, fp, e_pad), dtype),
+        grid=(b, e_pad // CEG),
+        in_specs=[
+            pl.BlockSpec((1, 1, CEG), lambda bi, k: (bi, 0, k)),
+            pl.BlockSpec((1, fp, np_), lambda bi, k: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, fp, CEG), lambda bi, k: (bi, 0, k)),
+        interpret=interpret,
+    )(idx_p[:, None, :], t)
+    return out.transpose(0, 2, 1)[:, :e, :f_in]

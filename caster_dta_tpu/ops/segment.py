@@ -53,13 +53,33 @@ def _gather_rows(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(idx.shape + node_feat.shape[2:])
 
 
-@jax.custom_vjp
-def _gather_rows_seg(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _gather_rows_best(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Forward gather: one-hot MXU matmul kernel when the node table fits in
+    VMEM (XLA's row gather is ~2 ns/row latency-bound regardless of index
+    order; the one-hot matmul is ~5x faster at the training bucket shapes),
+    XLA row gather otherwise."""
+    b, n = node_feat.shape[:2]
+    trailing = node_feat.shape[2:]
+    f_flat = 1
+    for d in trailing:
+        f_flat *= int(d)
+    if _pallas_dispatch(node_feat):
+        from caster_dta_tpu.ops import pallas_segment
+
+        if pallas_segment.onehot_gather_fits(n, f_flat, node_feat.dtype):
+            out = pallas_segment.onehot_gather(
+                node_feat.reshape(b, n, f_flat), idx)
+            return out.reshape(idx.shape + trailing)
     return _gather_rows(node_feat, idx)
 
 
+@jax.custom_vjp
+def _gather_rows_seg(node_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return _gather_rows_best(node_feat, idx)
+
+
 def _gather_rows_seg_fwd(node_feat, idx):
-    return _gather_rows(node_feat, idx), (idx, node_feat.shape[1:])
+    return _gather_rows_best(node_feat, idx), (idx, node_feat.shape[1:])
 
 
 def _gather_rows_seg_bwd(res, ct):
@@ -129,7 +149,7 @@ def segment_sum(
     if _pallas_dispatch(messages):
         from caster_dta_tpu.ops import pallas_segment
 
-        flat = messages.reshape(b, e, -1).astype(jnp.float32)
+        flat = messages.reshape(b, e, -1)
         out = pallas_segment.pallas_segment_sum(flat, dst, edge_mask, num_nodes)
         return out.reshape((b, num_nodes) + trailing).astype(messages.dtype)
     mask = edge_mask.reshape((b, e) + (1,) * len(trailing))

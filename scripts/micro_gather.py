@@ -11,35 +11,39 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-K = 100  # scan length
+K = 20  # dispatches per trace
 
 
 def sustained(fn, *args):
-    """us per application of fn, measured as one K-step lax.scan dispatch."""
+    """us per application of fn from TPU profiler-trace op durations (wall
+    clocks through the remote tunnel are unreliable; device durations in the
+    trace are exact)."""
+    import glob
+    import gzip
+    import json
+    import tempfile
+
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def run(args):
-        def body(c, _):
-            # make the FIRST arg carry-dependent so XLA cannot hoist the op
-            # out of the loop (adds one cheap elementwise add per iter)
-            a0 = args[0] + c.astype(args[0].dtype)
-            out = fn(a0, *args[1:])
-            return c * 0 + jnp.real(jnp.sum(out[..., 0, 0])) * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
-        return c
-
-    c = run(args)
-    jax.block_until_ready(c)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        c = run(args)
-        jax.block_until_ready(c)
-        best = min(best, time.perf_counter() - t0)
-    return best / K * 1e6
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    d = tempfile.mkdtemp(prefix="micro")
+    with jax.profiler.trace(d):
+        for _ in range(K):
+            out = jfn(*args)
+        jax.block_until_ready(out)
+    f = sorted(glob.glob(d + "/**/*.trace.json.gz", recursive=True))[-1]
+    with gzip.open(f) as fh:
+        tr = json.load(fh)
+    names = {e["pid"]: e["args"]["name"] for e in tr["traceEvents"]
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # top-level envelope events are named by run id (digits) or jit_<fn>;
+    # child op events carry real names. Sum children only.
+    tot = sum(e["dur"] for e in tr["traceEvents"]
+              if e.get("ph") == "X" and "TPU" in names.get(e["pid"], "")
+              and not e["name"].isdigit() and not e["name"].startswith("jit"))
+    return tot / K
 
 
 def main():

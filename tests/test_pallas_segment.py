@@ -37,3 +37,76 @@ def test_pallas_grad_matches_xla(rng):
     g1 = jax.grad(f_pallas)(msgs)
     g2 = jax.grad(f_xla)(msgs)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_onehot_gather_exact(rng):
+    """One-hot MXU gather returns bitwise-exact rows for f32 (3-pass exact
+    mantissa split) and bf16 (single exact pass) tables."""
+    from caster_dta_tpu.ops.pallas_segment import onehot_gather
+    from caster_dta_tpu.ops.segment import _gather_rows
+
+    for (b, n, e, f) in [(2, 70, 130, 13), (1, 300, 515, 28), (3, 130, 64, 5)]:
+        table = rng.normal(size=(b, n, f)).astype(np.float32) * 50
+        idx = rng.integers(0, n, (b, e)).astype(np.int32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            t = jnp.asarray(table).astype(dt)
+            got = onehot_gather(t, jnp.asarray(idx))
+            want = _gather_rows(t, jnp.asarray(idx))
+            assert got.dtype == dt
+            assert bool(jnp.all(got == want)), (b, n, e, f, dt)
+
+
+def test_fullN_scatter_matches_xla(rng):
+    """Single-pass full-N VMEM-accumulator scatter vs XLA scatter-add, for
+    bf16 (1 MXU pass) and f32 (3-pass split) rows."""
+    from caster_dta_tpu.ops.pallas_segment import unsorted_segment_sum_rows
+
+    b, n, e, f = 2, 120, 300, 11
+    rows = rng.normal(size=(b, e, f)).astype(np.float32)
+    ids = rng.integers(0, n, (b, e)).astype(np.int32)
+    gidx = (ids + n * np.arange(b)[:, None]).reshape(-1)
+    for dt in (jnp.float32, jnp.bfloat16):
+        r = jnp.asarray(rows).astype(dt)
+        want = jnp.zeros((b * n, f), jnp.float32).at[gidx].add(
+            r.astype(jnp.float32).reshape(b * e, f)).reshape(b, n, f)
+        got = unsorted_segment_sum_rows(r, jnp.asarray(ids), n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_gather_nodes_grad_uses_scatter(rng):
+    """gather_nodes VJP (dense one-hot scatter path) matches the XLA
+    transpose at both dtypes."""
+    b, n, e, f = 2, 90, 200, 7
+    table = rng.normal(size=(b, n, f)).astype(np.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32))
+    ct = rng.normal(size=(b, e, f)).astype(np.float32)
+
+    old = segment.USE_PALLAS
+    segment.USE_PALLAS = True  # force the Pallas path (interpret mode on CPU)
+    try:
+        _run_gather_grad_cases(rng, b, n, e, f, table, idx, ct)
+    finally:
+        segment.USE_PALLAS = old
+
+
+def _run_gather_grad_cases(rng, b, n, e, f, table, idx, ct):
+    for dt in (jnp.float32, jnp.bfloat16):
+        t = jnp.asarray(table).astype(dt)
+        ctd = jnp.asarray(ct).astype(dt)
+
+        def f_seg(t):
+            return (segment.gather_nodes(t, idx) * ctd).sum()
+
+        def f_ref(t):
+            out = jnp.take(t.reshape(b * n, f),
+                           (idx + n * jnp.arange(b)[:, None]).reshape(-1),
+                           axis=0).reshape(b, e, f)
+            return (out * ctd).sum()
+
+        g1 = jax.grad(f_seg)(t)
+        g2 = jax.grad(f_ref)(t)
+        np.testing.assert_allclose(
+            np.asarray(g1, np.float32), np.asarray(g2, np.float32),
+            rtol=2e-2 if dt == jnp.bfloat16 else 1e-5,
+            atol=2e-2 if dt == jnp.bfloat16 else 1e-5)
