@@ -200,17 +200,8 @@ class GVPConv(nn.Module):
     def __call__(self, x: SV, edge_src, edge_dst, edge_mask, edge_attr: SV,
                  message_mask=None) -> SV:
         s, v = x
-        # Mixed precision: cast the conv inputs once, BEFORE the endpoint
-        # gather, instead of letting each message Dense cast per edge. The
-        # first op the features hit is that Dense's matmul anyway, so the
-        # numerics are unchanged — but the gather moves half the bytes and
-        # the one-hot gather/scatter kernels take 1 exact bf16 MXU pass
-        # instead of the 3-pass f32 mantissa split.
         from caster_dta_tpu.nn.common import get_compute_dtype
         cd = get_compute_dtype()
-        if cd is not None and self.dtype is None:
-            s, v = s.astype(cd), v.astype(cd)
-            edge_attr = (edge_attr[0].astype(cd), edge_attr[1].astype(cd))
         so, vo = self.out_dims
         nv_in = v.shape[-2]
         e = edge_src.shape[1]
@@ -224,6 +215,20 @@ class GVPConv(nn.Module):
             and not self.is_initializing()
             and 2 * e * (s.shape[-1] + 3 * nv_in) * 4 <= 4_000_000
             and _fused_message_dispatch())
+
+        # Mixed precision: cast the conv inputs once, BEFORE the endpoint
+        # gather, instead of letting each message Dense cast per edge. The
+        # first op the features hit is that Dense's matmul anyway, so the
+        # numerics are unchanged — but the gather moves half the bytes and
+        # the one-hot gather/scatter kernels take 1 exact bf16 MXU pass
+        # instead of the 3-pass f32 mantissa split. NOT on the fused path:
+        # layout_pin must pin an f32 node table (this XLA build's row gather
+        # is ~2x faster on f32 rows, and a bf16 cotangent flips the backward
+        # scatter-add to a slower lowering); fused_message_mlp casts its
+        # inputs internally.
+        if cd is not None and self.dtype is None and not fused_ok:
+            s, v = s.astype(cd), v.astype(cd)
+            edge_attr = (edge_attr[0].astype(cd), edge_attr[1].astype(cd))
 
         if _MERGED_ENDPOINT_GATHER:
             # One merged-(s,v) gather per edge endpoint instead of four

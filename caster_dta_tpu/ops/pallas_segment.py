@@ -293,7 +293,9 @@ def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
     if rows.dtype not in (jnp.bfloat16, jnp.float32):
         rows = rows.astype(jnp.float32)
     n_split = 1 if rows.dtype == jnp.bfloat16 else 3
-    fp = max(((f_in + 7) // 8) * 8, 8)
+    # bf16 VMEM blocks need 16-sublane tiling (f32 is fine at 8)
+    sub = 16 if rows.dtype == jnp.bfloat16 else 8
+    fp = max(((f_in + sub - 1) // sub) * sub, sub)
     n_pad = ((num_segments + BND - 1) // BND) * BND
     nb = n_pad // BND
     e_pad = ((e + CED - 1) // CED) * CED
@@ -305,10 +307,14 @@ def unsorted_segment_sum_rows(rows: jnp.ndarray, ids: jnp.ndarray,
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     n_chunks = e_pad // CED
     itemsize = 2 if rows.dtype == jnp.bfloat16 else 4
-    # VMEM budget for the full-N kernel: accumulator + onehot intermediate
-    # + double-buffered chunks (~16 MB/core total on v5e)
-    fulln_vmem = (fp * n_pad * 4 + n_pad * CED * 3
-                  + 2 * fp * CED * itemsize + 2 * CED * 4)
+    # VMEM budget for the full-N kernel (~16 MB/core total on v5e):
+    # f32 accumulator + the [Np, CED] one-hot build chain (int32 iota 4B +
+    # broadcast/compare intermediate ~4B + bool 1B + bf16 onehot 2B ≈ 11B/el)
+    # + double-buffered input chunks + the mantissa-part bf16 copies of each
+    # chunk that _mantissa_parts keeps live for f32 rows (+ one f32 temp)
+    mant_vmem = 0 if n_split == 1 else fp * CED * (2 * n_split + 4)
+    fulln_vmem = (fp * n_pad * 4 + n_pad * CED * 11
+                  + 2 * fp * CED * itemsize + mant_vmem + 2 * CED * 4)
     if fulln_vmem <= 8_000_000:
         out = pl.pallas_call(
             functools.partial(_scatter_fullN_kernel, n_chunks=n_chunks,
@@ -362,7 +368,9 @@ def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
     if messages.dtype not in (jnp.bfloat16, jnp.float32):
         messages = messages.astype(jnp.float32)
     n_split = 1 if messages.dtype == jnp.bfloat16 else 3
-    fp = max(((f_in + 7) // 8) * 8, 8)
+    # bf16 VMEM blocks need 16-sublane tiling (f32 is fine at 8)
+    sub = 16 if messages.dtype == jnp.bfloat16 else 8
+    fp = max(((f_in + sub - 1) // sub) * sub, sub)
     n_pad = ((num_nodes + BN - 1) // BN) * BN
     nb = n_pad // BN
     e_pad = ((e + CE - 1) // CE) * CE + CE
@@ -525,11 +533,17 @@ def onehot_gather_fits(n: int, f_flat: int, dtype) -> bool:
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
     np_ = ((n + 127) // 128) * 128
-    fp = max(((f_flat + 7) // 8) * 8, 8)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    fp = max(((f_flat + sub - 1) // sub) * sub, sub)
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     n_split = 1 if dtype == jnp.bfloat16 else 3
+    # table block + one-hot build chain (int32 iota 4B + compare
+    # intermediate ~4B + bool 1B + bf16 onehot 2B ≈ 11B/el) + acc/out
+    # + mantissa-part bf16 copies of the table block for f32
+    mant = 0 if n_split == 1 else fp * np_ * (2 * n_split + 4)
     vmem = (fp * np_ * itemsize          # resident table block
-            + np_ * CEG * 3              # onehot + bool intermediate
+            + np_ * CEG * 11             # iota/compare/bool/onehot chain
+            + mant
             + CEG * fp * 8)              # acc + out block
     # past ~500K MAC/row-gathered the MXU passes lose to XLA's ~2ns/row
     return vmem <= 8_000_000 and np_ * fp * n_split <= 1_500_000
@@ -543,7 +557,9 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     e = idx.shape[1]
     dtype = table.dtype
     n_split = 1 if dtype == jnp.bfloat16 else 3
-    fp = max(((f_in + 7) // 8) * 8, 8)
+    # must match onehot_gather_fits (bf16 blocks tile at 16 sublanes)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    fp = max(((f_in + sub - 1) // sub) * sub, sub)
     np_ = ((n + 127) // 128) * 128
     e_pad = ((e + CEG - 1) // CEG) * CEG
     t = jnp.pad(table, ((0, 0), (0, np_ - n), (0, fp - f_in)))

@@ -22,8 +22,10 @@ def main():
     from __graft_entry__ import _trained_config_model, _synthetic_batch
     from caster_dta_tpu.train.loop import TrainConfig, Trainer
 
-    args = [int(a) for a in sys.argv[1:6]] or [32, 512, 4096, 64, 256]
-    B, N_P, E_P, N_M, E_M = args
+    vals = [32, 512, 4096, 64, 256]
+    user = [int(a) for a in sys.argv[1:6]]
+    vals[:len(user)] = user
+    B, N_P, E_P, N_M, E_M = vals
     batch = _synthetic_batch(b=B, n_p=N_P, e_p=E_P, n_m=N_M, e_m=E_M, seed=0)
     model = _trained_config_model()
     cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4,
