@@ -80,8 +80,12 @@ class BucketedLoader:
                  edge_ladder=EDGE_LADDER,
                  molecule_edge_ladder=MOLECULE_EDGE_LADDER,
                  coalesce: bool = True,
-                 coalesce_min_batches: int = 4):
+                 coalesce_min_batches: int = 4,
+                 batch_multiple: int = 1):
         self.dataset = dataset
+        # round every bucket's batch size up to this multiple so batches
+        # split evenly over a data-parallel mesh axis (train/loop.py n_dp)
+        self.batch_multiple = max(1, int(batch_multiple))
         self.indices = np.asarray(indices if indices is not None
                                   else np.arange(len(dataset)))
         self.max_num = max_num
@@ -147,7 +151,9 @@ class BucketedLoader:
         cost = e_p + e_m
         if self.include_nodepair:
             cost += n_p * n_m
-        return int(np.clip(self.max_num // max(cost, 1), 1, self.max_batch_size))
+        bs = int(np.clip(self.max_num // max(cost, 1), 1, self.max_batch_size))
+        m = self.batch_multiple
+        return ((bs + m - 1) // m) * m
 
     def buckets(self):
         out = {}

@@ -95,9 +95,12 @@ def _graph_nbytes(n_pad, e_pad, ds, dv, es, ev) -> int:
 class DeviceResidentLoader:
     """BucketedLoader-compatible iterator with device-side batch assembly."""
 
-    def __init__(self, loader: BucketedLoader):
+    def __init__(self, loader: BucketedLoader, store_sharding=None):
         self.loader = loader
         self.dataset = loader.dataset
+        # multi-chip: place each store replicated over the mesh ONCE at build
+        # (a per-batch device_put would re-broadcast the store every step)
+        self._store_sharding = store_sharding
         # per bucket: stacked GraphBatch stores + key->row maps
         self._p_store: dict = {}
         self._m_store: dict = {}
@@ -129,8 +132,13 @@ class DeviceResidentLoader:
             m_stack = stack_graphs([
                 self.loader._padded_graph("m", k, ds.molecule_data[k], n_m, e_m)
                 for k in mkeys])
-            self._p_store[b] = jax.tree_util.tree_map(jnp.asarray, p_stack)
-            self._m_store[b] = jax.tree_util.tree_map(jnp.asarray, m_stack)
+            if self._store_sharding is not None:
+                put = lambda a: jax.device_put(np.asarray(a),
+                                               self._store_sharding)
+            else:
+                put = jnp.asarray
+            self._p_store[b] = jax.tree_util.tree_map(put, p_stack)
+            self._m_store[b] = jax.tree_util.tree_map(put, m_stack)
             for k in pkeys:
                 self._n_edges[("p", k)] = int(ds.protein_data[k]["n_edges"])
             for k in mkeys:
@@ -157,12 +165,13 @@ class DeviceResidentLoader:
 
     @classmethod
     def maybe(cls, loader: BucketedLoader,
-              budget_bytes: Optional[int] = 4_000_000_000):
+              budget_bytes: Optional[int] = 4_000_000_000,
+              store_sharding=None):
         """Wrap when the store fits the budget; else return loader as-is."""
         if budget_bytes is not None and \
                 cls.estimate_store_bytes(loader) > budget_bytes:
             return loader
-        return cls(loader)
+        return cls(loader, store_sharding=store_sharding)
 
     # ------------------------------------------------------------------- iter
     def __len__(self):

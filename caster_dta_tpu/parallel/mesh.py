@@ -46,6 +46,38 @@ def replicate_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)
 
 
+def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
+    """Place a training-loop batch for data-parallel execution.
+
+    - PairBatch: every leaf has a leading batch dim -> shard it over dp.
+    - StoreBatch: the graph stores are assumed already replicated (see
+      DeviceResidentLoader(store_sharding=...)); the small host-side row/
+      target/weight arrays shard their batch dim.
+    - MegaBatch: per-step arrays are [k, B] -> shard B (axis 1) over dp.
+
+    With params replicated and batches sharded this way, jit/GSPMD inserts
+    the cross-device loss psum and gradient all-reduce automatically.
+    """
+    from caster_dta_tpu.data.device_cache import MegaBatch, StoreBatch
+
+    row = NamedSharding(mesh, P(axis_name))
+    if isinstance(batch, StoreBatch):
+        put = lambda a: jax.device_put(np.asarray(a), row)
+        return StoreBatch(p_store=batch.p_store, m_store=batch.m_store,
+                          p_rows=put(batch.p_rows), m_rows=put(batch.m_rows),
+                          target=put(batch.target), weight=put(batch.weight),
+                          pair_idx=put(batch.pair_idx))
+    if isinstance(batch, MegaBatch):
+        row2 = NamedSharding(mesh, P(None, axis_name))
+        put = lambda a: jax.device_put(np.asarray(a), row2)
+        return MegaBatch(p_store=batch.p_store, m_store=batch.m_store,
+                         p_rows=put(batch.p_rows), m_rows=put(batch.m_rows),
+                         target=put(batch.target), weight=put(batch.weight),
+                         pair_idx=put(batch.pair_idx))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), row), batch)
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:

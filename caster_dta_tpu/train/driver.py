@@ -127,6 +127,10 @@ def main(argv=None):
                    help="directory of pre-downloaded {protein_id}.pdb files")
     p.add_argument("--n-epochs", type=int, default=2000)
     p.add_argument("--n-workers", type=int, default=None)
+    p.add_argument("--n-dp", type=int, default=None,
+                   help="data-parallel mesh size: shard batches over this "
+                        "many devices (params replicated, gradient "
+                        "all-reduce over ICI). Default: single device.")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from the out-folder's "
                         "train_state.msgpack (full params+optimizer+"
@@ -177,7 +181,8 @@ def main(argv=None):
     max_num, max_bsize = dataset_budgets(args.dataset)
     # bf16 matmuls = the reference's AMP-on default (train_model.py:478)
     cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed,
-                      resume=args.resume, compute_dtype="bfloat16")
+                      resume=args.resume, compute_dtype="bfloat16",
+                      n_dp=args.n_dp)
 
     initial_params = None
     if args.checkpoint is not None:

@@ -62,6 +62,12 @@ class TrainConfig:
     # launch overhead entirely; batch order becomes bucket-grouped (buckets
     # themselves shuffled per epoch).
     scan_steps: bool = True
+    # data parallelism: shard every batch's leading dim over a 'dp' mesh of
+    # this many devices, params replicated, XLA inserting the gradient
+    # all-reduce over ICI (the capability the reference lacks,
+    # train_model.py:353-355). None/1 = single device. Bucket batch sizes
+    # round up to a multiple of n_dp so batches split evenly.
+    n_dp: Optional[int] = None
 
 
 def _max_batch_width(loader) -> int:
@@ -113,9 +119,11 @@ class _PredAccumulator:
 
 
 class Trainer:
-    def __init__(self, model, config: TrainConfig, example_batch: PairBatch):
+    def __init__(self, model, config: TrainConfig, example_batch: PairBatch,
+                 mesh=None):
         self.model = model
         self.config = config
+        self.mesh = mesh
         # mixed precision (AMP equivalent): trace-time process-wide policy,
         # active for every step this trainer traces (see nn/common.py)
         from caster_dta_tpu.nn import common as nn_common
@@ -138,6 +146,13 @@ class Trainer:
         self.params = variables["params"]
         self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
         self.opt_state = jax.jit(self.tx.init)(self.params)
+        if mesh is not None:
+            from caster_dta_tpu.parallel import mesh as pmesh
+            self.params = pmesh.replicate_params(self.params, mesh)
+            self.opt_state = pmesh.replicate_params(self.opt_state, mesh)
+            if self.extra_vars:
+                self.extra_vars = pmesh.replicate_params(self.extra_vars, mesh)
+            self.rng = pmesh.replicate_params(self.rng, mesh)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._train_scan = self._build_train_scan()
@@ -253,6 +268,13 @@ class Trainer:
         return step
 
     # ----------------------------------------------------------------- epochs
+    def _place(self, batch):
+        """Shard a batch over the dp mesh (no-op single-device)."""
+        if self.mesh is None:
+            return batch
+        from caster_dta_tpu.parallel import mesh as pmesh
+        return pmesh.shard_batch(batch, self.mesh)
+
     def _use_scan(self, loader) -> bool:
         return self.config.scan_steps and hasattr(loader, "iter_megabatches")
 
@@ -280,7 +302,7 @@ class Trainer:
                 if scheduler is not None and total_train:
                     lr = scheduler.step(epoch + n_processed / total_train)
             self.params, self.opt_state, preds, self.rng = self._train_scan(
-                self.params, self.opt_state, mega, self.rng, lrs)
+                self.params, self.opt_state, self._place(mega), self.rng, lrs)
             buf = _acc_block(buf, preds, np.int32(k0))
             k0 += k
             if meter is not None:
@@ -302,7 +324,7 @@ class Trainer:
         k0 = 0
         deferred = []
         for mega, _ in loader.iter_megabatches():
-            preds = self._eval_scan(self.params, mega)
+            preds = self._eval_scan(self.params, self._place(mega))
             buf = _acc_block(buf, preds, np.int32(k0))
             k0 += mega.n_steps
             for j in range(mega.n_steps):
@@ -337,7 +359,7 @@ class Trainer:
         deferred = []   # (mask, target, n_real)
         for batch in loader:
             self.params, self.opt_state, _, pred, self.rng = self._train_step(
-                self.params, self.opt_state, batch, self.rng,
+                self.params, self.opt_state, self._place(batch), self.rng,
                 np.float32(lr))
             n_real = int(batch.weight.sum())
             n_processed += n_real
@@ -367,7 +389,7 @@ class Trainer:
         acc = _PredAccumulator(len(loader), _max_batch_width(loader))
         deferred = []
         for batch in loader:
-            pred = self._eval_step(self.params, batch)   # stays on device
+            pred = self._eval_step(self.params, self._place(batch))   # stays on device
             acc.append(pred)
             deferred.append((batch.weight > 0, batch.target, batch.pair_idx))
         losses, sizes = [], []
@@ -434,13 +456,22 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
 
     train_idx, val_idx, test_idx = split_dataset(dataset, config.seed)
 
+    mesh = None
+    store_sharding = None
+    if config.n_dp is not None and config.n_dp > 1:
+        from caster_dta_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(config.n_dp)
+        store_sharding = pmesh.replicated(mesh)
+
     def mk_loader(idxs, shuffle, seed):
         dl = BucketedLoader(dataset, idxs, max_num=max_num,
                             max_batch_size=max_batch_size,
-                            shuffle=shuffle, seed=seed)
+                            shuffle=shuffle, seed=seed,
+                            batch_multiple=config.n_dp or 1)
         if config.device_data_budget is not None:
             from caster_dta_tpu.data.device_cache import DeviceResidentLoader
-            dl = DeviceResidentLoader.maybe(dl, config.device_data_budget)
+            dl = DeviceResidentLoader.maybe(dl, config.device_data_budget,
+                                            store_sharding=store_sharding)
         return dl
 
     train_dl = mk_loader(train_idx, True, config.seed)
@@ -452,8 +483,11 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     # training epoch k always uses shuffle order (seed, k) — resume depends
     # on this mapping being stable
     getattr(train_dl, "loader", train_dl).epoch = 0
-    trainer = Trainer(model, config, example)
+    trainer = Trainer(model, config, example, mesh=mesh)
     if initial_params is not None:
+        if mesh is not None:
+            from caster_dta_tpu.parallel import mesh as pmesh
+            initial_params = pmesh.replicate_params(initial_params, mesh)
         trainer.params = initial_params
 
     leakage = split_leakage_report(dataset, train_idx, val_idx, test_idx)
