@@ -33,7 +33,9 @@ def run_model_on_dataset(model, variables, dataset, max_batch_size: int = 8,
         "protein_id", "molecule_id", "affinity_score", "protein_attention",
         "molecule_attention", "max_protein_attention", "max_molecule_attention",
         "prot_mol_attention", "mol_prot_attention", "protein_explanation",
-        "molecule_explanation", "protein_len", "molecule_len", "pair_idx"]}
+        "molecule_explanation", "protein_edge_explanation",
+        "molecule_edge_explanation", "protein_len", "molecule_len",
+        "pair_idx"]}
 
     for batch in loader:
         pred, attn = forward(variables, batch.protein, batch.molecule)
@@ -72,9 +74,17 @@ def run_model_on_dataset(model, variables, dataset, max_batch_size: int = 8,
                 mm = np.asarray(exp["molecule"][k][:mlen])
                 rows["protein_explanation"].append(_softmax(pm))
                 rows["molecule_explanation"].append(_softmax(mm))
+                pelen = int(np.asarray(batch.protein.n_edge)[k])
+                melen = int(np.asarray(batch.molecule.n_edge)[k])
+                rows["protein_edge_explanation"].append(
+                    np.asarray(exp["protein_edges"][k][:pelen]))
+                rows["molecule_edge_explanation"].append(
+                    np.asarray(exp["molecule_edges"][k][:melen]))
             else:
                 rows["protein_explanation"].append(None)
                 rows["molecule_explanation"].append(None)
+                rows["protein_edge_explanation"].append(None)
+                rows["molecule_edge_explanation"].append(None)
             rows["protein_len"].append(plen)
             rows["molecule_len"].append(mlen)
             rows["pair_idx"].append(i)

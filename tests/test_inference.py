@@ -82,6 +82,14 @@ def test_checkpoint_reload_and_eval(checkpoint_folder):
     assert row["prot_mol_attention"].shape == (row["molecule_len"],
                                               row["protein_len"])
     np.testing.assert_allclose(row["protein_explanation"].sum(), 1.0, rtol=1e-5)
+    # edge masks (pyg GNNExplainer learns node AND edge masks,
+    # reference explanation/explain_wrapper.py:61-93): in (0,1), one per
+    # real edge
+    assert row["protein_edge_explanation"].ndim == 1
+    assert row["molecule_edge_explanation"].ndim == 1
+    for em in (row["protein_edge_explanation"],
+               row["molecule_edge_explanation"]):
+        assert ((em > 0) & (em < 1)).all()
     assert np.isfinite(row["affinity_score"])
     # deterministic order: pair_idx strictly increasing
     assert (np.diff(parsed["pair_idx"].values) > 0).all()
