@@ -144,7 +144,7 @@ class DeviceResidentLoader:
             for k in mkeys:
                 self._n_edges[("m", k)] = int(ds.molecule_data[k]["n_edges"])
         # drop the loader's host-side pad cache — stores now live in HBM
-        self.loader._pad_cache = {}
+        self.loader._pad_cache.clear()
 
     @classmethod
     def estimate_store_bytes(cls, loader: BucketedLoader) -> int:
