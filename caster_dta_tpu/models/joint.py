@@ -139,16 +139,22 @@ class JointGNN(nn.Module):
     @nn.compact
     def __call__(self, protein_graph: GraphBatch, molecule_graph: GraphBatch,
                  deterministic: bool = True):
-        act = select_activation(self.activation)
-
         protein_gnn = make_protein_gnn(name="protein_gnn", **self.protein_gnn_kwargs)
         molecule_gnn = make_molecule_gnn(name="molecule_gnn", **self.molecule_gnn_kwargs)
 
         residue_embed = protein_gnn(protein_graph, deterministic=deterministic)
         atom_embed = molecule_gnn(molecule_graph, deterministic=deterministic)
 
-        residue_mask = protein_graph.node_mask
-        atom_mask = molecule_graph.node_mask
+        return self._head(residue_embed, atom_embed, protein_graph.node_mask,
+                          molecule_graph.node_mask, deterministic)
+
+    def _head(self, residue_embed, atom_embed, residue_mask, atom_mask,
+              deterministic: bool):
+        """Everything after the towers (lin stacks, cross-attention, pooling,
+        output MLP). A helper inside the compact context — param names stay
+        at the module root — so the edge-partitioned JointGNN
+        (parallel/partition.py) reuses it verbatim."""
+        act = select_activation(self.activation)
 
         residue_embed = self._lin_stack(residue_embed, self.residue_lin_depth,
                                         "residue", deterministic)

@@ -320,7 +320,17 @@ class GVPConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x: SV, edge_src, edge_dst, edge_mask, edge_attr: SV,
                  autoregressive_x: Optional[SV] = None, node_mask=None,
-                 deterministic: bool = True) -> SV:
+                 deterministic: bool = True, boundary=None) -> SV:
+        """boundary: optional second edge block
+        ``(x_ext SV, src, dst, mask, edge_attr SV)`` whose messages gather
+        from an EXTENDED node array (local rows + halo rows appended) and
+        aggregate into the same local destinations — the edge-partitioned
+        execution path (parallel/partition.py). The interior block's conv is
+        issued FIRST and does not depend on the halo exchange feeding
+        ``x_ext``, so XLA's latency-hiding scheduler overlaps the collective
+        with the interior message math (SURVEY §7.7). Both blocks share the
+        same message-GVP parameters; mean aggregation normalizes by the
+        combined in-degree."""
         node_dims = (x[0].shape[-1], x[1].shape[-2])
         aggr = self.aggr
         if self.autoregressive:
@@ -330,11 +340,28 @@ class GVPConvLayer(nn.Module):
         elif aggr is None:
             aggr = "mean"
 
-        conv = GVPConv(node_dims, n_layers=self.n_message, aggr=aggr,
+        # with a split edge set, aggregate both blocks with 'add' and apply
+        # the mean normalization once over the combined degree (same pattern
+        # as the reference's autoregressive branch, gvp_layers.py:382-398)
+        conv_aggr = "add" if (boundary is not None and aggr == "mean") else aggr
+        conv = GVPConv(node_dims, n_layers=self.n_message, aggr=conv_aggr,
                        activations=self.activations, vector_gate=self.vector_gate,
                        name="conv")
 
-        if autoregressive_x is not None:
+        if boundary is not None:
+            if autoregressive_x is not None:
+                raise ValueError("boundary and autoregressive are exclusive")
+            x_ext, b_src, b_dst, b_mask, b_eattr = boundary
+            ns = x[0].shape[1]
+            dh_i = conv(x, edge_src, edge_dst, edge_mask, edge_attr)
+            dh_b = conv(x_ext, b_src, b_dst, b_mask, b_eattr)
+            dh = tuple_sum(dh_i, (dh_b[0][:, :ns], dh_b[1][:, :ns]))
+            if aggr == "mean":
+                count = (segment.segment_degree(edge_dst, edge_mask, ns)
+                         + segment.segment_degree(b_dst, b_mask, ns))
+                count = jnp.maximum(count, 1.0)
+                dh = (dh[0] / count[..., None], dh[1] / count[..., None, None])
+        elif autoregressive_x is not None:
             # Messages on forward edges (src < dst) use current embeddings x;
             # backward edges (src >= dst) use autoregressive_x; summed then
             # normalized by the full in-degree (gvp_layers.py:382-398).

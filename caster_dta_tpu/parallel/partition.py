@@ -11,27 +11,31 @@ Design (SURVEY §7 step 7b):
   * **Nodes** are block-partitioned: shard ``g`` owns rows
     ``[g*Ns, (g+1)*Ns)``. All node-wise ops (input GVPs, norms, residuals,
     feedforward, output head) are embarrassingly parallel.
-  * **Edges** live with the shard that owns their *destination* node. Since
-    the global edge list is sorted by dst (data/graphs.py contract), each
-    shard's edge block is contiguous and stays sorted — the local aggregation
-    is the same sorted segment-sum as single-device, and **degree counts are
-    exact** (every edge lives on exactly one shard, so no cross-partition
-    normalization correction is needed for mean aggregation).
-  * **Halo exchange**: before each conv layer, every shard sends the current
-    features of the boundary nodes it owns to the shards whose edges read
-    them, via one ``jax.lax.all_to_all`` over ICI ([G, H, F] send/recv
-    buffers, send lists precomputed on host). Edge ``src`` indices are
-    pre-remapped into the concatenated ``[local nodes | halo buffer]`` space,
-    so the conv's gather is a plain local gather.
+  * **Edges** live with the shard that owns their *destination* node, split
+    into an **interior block** (src also local) and a **boundary block**
+    (src remote). Each block stays sorted by dst, so local aggregation is
+    the same sorted segment-sum as single-device, and **degree counts are
+    exact** (every edge lives on exactly one shard; mean aggregation
+    normalizes once over the combined interior+boundary degree).
+  * **Halo exchange overlapped with compute**: before each conv layer every
+    shard ships the boundary-node features it owns to the shards whose edges
+    read them, via one ``jax.lax.all_to_all`` over ICI. Only the *boundary*
+    edge block depends on the received halo — the interior block's message
+    MLP + aggregation are issued first with no data dependency on the
+    collective, so XLA's latency-hiding scheduler runs the exchange
+    concurrently with the interior math (SURVEY §7.7 double-buffered design,
+    expressed as a dependency split rather than manual buffers).
   * The partitioned model re-declares the same flax submodule names as
     ``VectorProteinGNN_LBAModel`` (models/protein.py), so a single-device
     parameter tree — including one transplanted from the reference's
-    PyTorch checkpoint — applies unchanged. Parity is tested on a virtual
-    8-device CPU mesh (tests/test_partition.py).
+    PyTorch checkpoint — applies unchanged.
+  * **Planning is vectorized** (numpy sort/unique/searchsorted; no per-edge
+    Python) so BindingDB-scale proteins partition in milliseconds, and
+    explicit per-shard budgets let one compiled executable cover a bucket.
 
-``jax.lax.all_to_all`` is differentiable (its transpose is the reverse
-all_to_all), so gradients flow through halo exchanges; grad parity vs the
-single-device model is part of the test contract.
+``jax.lax.all_to_all``/``all_gather`` are differentiable, so gradients flow
+through halo exchanges; grad parity vs the single-device model is part of
+the test contract (tests/test_partition.py).
 """
 from __future__ import annotations
 
@@ -45,6 +49,7 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from caster_dta_tpu.models.common import TypeEmbedding
+from caster_dta_tpu.models.joint import JointGNN
 from caster_dta_tpu.models.protein import _as_dims
 from caster_dta_tpu.nn import gvp
 
@@ -55,23 +60,31 @@ Dims = Tuple[int, int]
 class ShardedProteinGraph:
     """One protein graph partitioned over G shards (leading axis = shard).
 
-    Shapes: G shards, Ns nodes/shard, Es edges/shard, H halo slots/peer.
-    ``edge_src_ext`` indexes the per-shard extended node array
-    ``concat([local Ns rows, halo G*H rows])``; ``edge_dst`` is shard-local
-    and sorted ascending. ``send_idx[g, p, :]`` lists the local rows shard g
-    must ship to peer p each exchange (masked by ``send_mask``).
+    Shapes: G shards, Ns nodes/shard, Ei interior edges/shard, Eb boundary
+    edges/shard, H halo slots/peer. Interior edges have both endpoints local
+    (``int_src`` in [0, Ns)); boundary edges read remote sources through the
+    halo buffer (``bnd_src_ext`` indexes ``concat([local Ns rows, halo G*H
+    rows])``). Both dst arrays are shard-local and sorted ascending (pad =
+    Ns-1). ``send_idx[g, p, :]`` lists the local rows shard g must ship to
+    peer p each exchange (masked by ``send_mask``).
     """
 
     node_s: jnp.ndarray        # f32 [G, Ns, ds]
     node_v: jnp.ndarray        # f32 [G, Ns, dv, 3]
     node_type: jnp.ndarray     # i32 [G, Ns]
     node_mask: jnp.ndarray     # bool [G, Ns]
-    edge_src_ext: jnp.ndarray  # i32 [G, Es] in [0, Ns + G*H)
-    edge_dst: jnp.ndarray      # i32 [G, Es] local, sorted; pad = Ns-1
-    edge_s: jnp.ndarray        # f32 [G, Es, es]
-    edge_v: jnp.ndarray        # f32 [G, Es, ev, 3]
-    edge_type: jnp.ndarray     # i32 [G, Es]
-    edge_mask: jnp.ndarray     # bool [G, Es]
+    int_src: jnp.ndarray       # i32 [G, Ei] local
+    int_dst: jnp.ndarray       # i32 [G, Ei] local, sorted; pad = Ns-1
+    int_s: jnp.ndarray         # f32 [G, Ei, es]
+    int_v: jnp.ndarray         # f32 [G, Ei, ev, 3]
+    int_type: jnp.ndarray      # i32 [G, Ei]
+    int_mask: jnp.ndarray      # bool [G, Ei]
+    bnd_src_ext: jnp.ndarray   # i32 [G, Eb] in [0, Ns + G*H)
+    bnd_dst: jnp.ndarray       # i32 [G, Eb] local, sorted; pad = Ns-1
+    bnd_s: jnp.ndarray         # f32 [G, Eb, es]
+    bnd_v: jnp.ndarray         # f32 [G, Eb, ev, 3]
+    bnd_type: jnp.ndarray      # i32 [G, Eb]
+    bnd_mask: jnp.ndarray      # bool [G, Eb]
     send_idx: jnp.ndarray      # i32 [G, G, H] local node rows to send to peer
     send_mask: jnp.ndarray     # f32 [G, G, H] 1.0 for real halo slots
 
@@ -98,14 +111,16 @@ def partition_protein_graph(
     edge_type: np.ndarray,
     n_shards: int,
     nodes_per_shard: Optional[int] = None,
-    edges_per_shard: Optional[int] = None,
+    interior_edges_per_shard: Optional[int] = None,
+    boundary_edges_per_shard: Optional[int] = None,
     halo_per_peer: Optional[int] = None,
 ) -> ShardedProteinGraph:
-    """Host-side partition planning for one (unpadded) protein graph.
+    """Host-side partition planning for one (unpadded) protein graph —
+    fully vectorized (sort/bincount/unique/searchsorted; no per-edge Python).
 
     Pads node/edge/halo counts up to static per-shard budgets (computed from
     the graph when not given; give explicit budgets to share one compiled
-    executable across graphs of a bucket).
+    executable across the graphs of a bucket).
     """
     node_s = np.asarray(node_s, np.float32)
     n = node_s.shape[0]
@@ -122,27 +137,38 @@ def partition_protein_graph(
     edge_v = np.asarray(edge_v, np.float32)[order]
     edge_type = np.asarray(edge_type, np.int64)[order]
 
-    owner = dst // ns
-    per_shard_e = np.bincount(owner, minlength=g_)
-    es = edges_per_shard or int(per_shard_e.max())
-    if per_shard_e.max() > es:
-        raise ValueError(f"edges_per_shard {es} too small (max {per_shard_e.max()})")
+    owner = dst // ns                     # dst shard owns the edge
+    src_owner = src // ns
+    is_bnd = src_owner != owner
 
-    # Halo sets: for dst-shard g, the remote src nodes it reads, per owner.
-    need: list[list[np.ndarray]] = []  # need[g][h] = sorted global ids
-    for gsh in range(g_):
-        e_sel = owner == gsh
-        s_g = src[e_sel]
-        row = []
-        for h in range(g_):
-            if h == gsh:
-                row.append(np.empty(0, np.int64))
-            else:
-                ids = np.unique(s_g[(s_g // ns) == h])
-                row.append(ids)
-        need.append(row)
-    h_needed = max((len(need[gsh][h]) for gsh in range(g_) for h in range(g_)),
-                   default=0)
+    e_int = np.bincount(owner[~is_bnd], minlength=g_)
+    e_bnd = np.bincount(owner[is_bnd], minlength=g_)
+    ei = interior_edges_per_shard or max(int(e_int.max()), 1)
+    eb = boundary_edges_per_shard or max(int(e_bnd.max()), 1)
+    if e_int.max() > ei:
+        raise ValueError(f"interior_edges_per_shard {ei} too small "
+                         f"(max {e_int.max()})")
+    if e_bnd.max() > eb:
+        raise ValueError(f"boundary_edges_per_shard {eb} too small "
+                         f"(max {e_bnd.max()})")
+
+    # ------------------------------------------------------- halo planning
+    # unique (dst_shard g, src_shard h, src u) triples over boundary edges;
+    # np.unique(axis=0) sorts lexicographically, so rows group by (g, h)
+    # with u ascending inside each group.
+    if is_bnd.any():
+        triples = np.unique(np.stack(
+            [owner[is_bnd], src_owner[is_bnd], src[is_bnd]], axis=1), axis=0)
+        gh = triples[:, 0] * g_ + triples[:, 1]
+        group_keys, group_starts, group_counts = np.unique(
+            gh, return_index=True, return_counts=True)
+        h_needed = int(group_counts.max())
+    else:
+        triples = np.zeros((0, 3), np.int64)
+        group_keys = np.zeros(0, np.int64)
+        group_starts = np.zeros(0, np.int64)
+        group_counts = np.zeros(0, np.int64)
+        h_needed = 0
     hh = halo_per_peer if halo_per_peer is not None else max(h_needed, 1)
     if h_needed > hh:
         raise ValueError(f"halo_per_peer {hh} too small (max {h_needed})")
@@ -157,23 +183,23 @@ def partition_protein_graph(
         node_v=np.zeros((g_, ns, dv_, 3), np.float32),
         node_type=np.zeros((g_, ns), np.int32),
         node_mask=np.zeros((g_, ns), bool),
-        edge_src_ext=np.zeros((g_, es), np.int32),
-        edge_dst=np.full((g_, es), ns - 1, np.int32),
-        edge_s=np.zeros((g_, es, edge_s.shape[1]), np.float32),
-        edge_v=np.zeros((g_, es) + edge_v.shape[1:], np.float32),
-        edge_type=np.zeros((g_, es), np.int32),
-        edge_mask=np.zeros((g_, es), bool),
+        int_src=np.zeros((g_, ei), np.int32),
+        int_dst=np.full((g_, ei), ns - 1, np.int32),
+        int_s=np.zeros((g_, ei, edge_s.shape[1]), np.float32),
+        int_v=np.zeros((g_, ei) + edge_v.shape[1:], np.float32),
+        int_type=np.zeros((g_, ei), np.int32),
+        int_mask=np.zeros((g_, ei), bool),
+        bnd_src_ext=np.zeros((g_, eb), np.int32),
+        bnd_dst=np.full((g_, eb), ns - 1, np.int32),
+        bnd_s=np.zeros((g_, eb, edge_s.shape[1]), np.float32),
+        bnd_v=np.zeros((g_, eb) + edge_v.shape[1:], np.float32),
+        bnd_type=np.zeros((g_, eb), np.int32),
+        bnd_mask=np.zeros((g_, eb), bool),
         send_idx=np.zeros((g_, g_, hh), np.int32),
         send_mask=np.zeros((g_, g_, hh), np.float32),
     )
 
-    # send lists: send_idx[h, g] = local rows on h that g needs (need[g][h])
-    for gsh in range(g_):
-        for h in range(g_):
-            ids = need[gsh][h]
-            out["send_idx"][h, gsh, : len(ids)] = ids - h * ns
-            out["send_mask"][h, gsh, : len(ids)] = 1.0
-
+    # nodes: one reshape-style block copy per shard
     for gsh in range(g_):
         lo, hi = gsh * ns, min((gsh + 1) * ns, n)
         cnt = hi - lo
@@ -183,26 +209,44 @@ def partition_protein_graph(
             out["node_type"][gsh, :cnt] = node_type[lo:hi]
             out["node_mask"][gsh, :cnt] = True
 
-        e_sel = np.nonzero(owner == gsh)[0]
-        ne = len(e_sel)
-        out["edge_dst"][gsh, :ne] = dst[e_sel] - lo
-        out["edge_s"][gsh, :ne] = edge_s[e_sel]
-        out["edge_v"][gsh, :ne] = edge_v[e_sel]
-        out["edge_type"][gsh, :ne] = edge_type[e_sel]
-        out["edge_mask"][gsh, :ne] = True
+    # send lists: slot p of (owner h, reader g) = p-th smallest needed id
+    slot_of_triple = np.zeros(len(triples), np.int64)
+    for k, start, cnt in zip(group_keys, group_starts, group_counts):
+        slot_of_triple[start:start + cnt] = np.arange(cnt)
+        gsh, h = int(k) // g_, int(k) % g_
+        ids = triples[start:start + cnt, 2]
+        out["send_idx"][h, gsh, :cnt] = ids - h * ns
+        out["send_mask"][h, gsh, :cnt] = 1.0
 
-        # remap src -> extended index: local row, or Ns + owner*H + slot
-        halo_pos = {}
-        for h in range(g_):
-            for p, u in enumerate(need[gsh][h]):
-                halo_pos[int(u)] = ns + h * hh + p
-        s_g = src[e_sel]
-        ext = np.where(
-            (s_g >= lo) & (s_g < hi),
-            s_g - lo,
-            np.array([halo_pos.get(int(u), 0) for u in s_g], np.int64),
-        )
-        out["edge_src_ext"][gsh, :ne] = ext
+    # boundary src -> extended index ns + h*H + slot, via a lex-sorted lookup
+    # of (g, h, u) into the triples table
+    if is_bnd.any():
+        b_g, b_h, b_u = owner[is_bnd], src_owner[is_bnd], src[is_bnd]
+        key_all = (triples[:, 0] * g_ + triples[:, 1]) * (n + 1) + triples[:, 2]
+        key_q = (b_g * g_ + b_h) * (n + 1) + b_u
+        pos = np.searchsorted(key_all, key_q)
+        bnd_ext_all = ns + b_h * hh + slot_of_triple[pos]
+
+    # per-shard edge block fill: boolean masks keep dst-sorted order
+    pos_in_shard = np.empty(len(dst), np.int64)
+    for gsh in range(g_):
+        sel_i = np.nonzero((owner == gsh) & ~is_bnd)[0]
+        out["int_src"][gsh, :len(sel_i)] = src[sel_i] - gsh * ns
+        out["int_dst"][gsh, :len(sel_i)] = dst[sel_i] - gsh * ns
+        out["int_s"][gsh, :len(sel_i)] = edge_s[sel_i]
+        out["int_v"][gsh, :len(sel_i)] = edge_v[sel_i]
+        out["int_type"][gsh, :len(sel_i)] = edge_type[sel_i]
+        out["int_mask"][gsh, :len(sel_i)] = True
+
+        sel_b = np.nonzero((owner == gsh) & is_bnd)[0]
+        if len(sel_b):
+            bnd_positions = np.nonzero((b_g == gsh))[0] if is_bnd.any() else []
+            out["bnd_src_ext"][gsh, :len(sel_b)] = bnd_ext_all[bnd_positions]
+            out["bnd_dst"][gsh, :len(sel_b)] = dst[sel_b] - gsh * ns
+            out["bnd_s"][gsh, :len(sel_b)] = edge_s[sel_b]
+            out["bnd_v"][gsh, :len(sel_b)] = edge_v[sel_b]
+            out["bnd_type"][gsh, :len(sel_b)] = edge_type[sel_b]
+            out["bnd_mask"][gsh, :len(sel_b)] = True
 
     return ShardedProteinGraph(**{k: jnp.asarray(v) for k, v in out.items()})
 
@@ -229,7 +273,11 @@ class PartitionedLBAProteinGNN(nn.Module):
     ``axis_name`` mesh axis (call under shard_map; see run_partitioned).
 
     Declares identical flax submodule names to the single-device model
-    (models/protein.py:33-91), so the same parameter tree applies.
+    (models/protein.py:33-91), so the same parameter tree applies. Each conv
+    layer issues the halo all_to_all and the interior edge block's messages
+    with no mutual dependency — the collective overlaps with interior
+    compute — then adds the boundary block's contribution (shared conv
+    params via GVPConvLayer's ``boundary`` argument).
     """
 
     in_channels: Dims
@@ -253,39 +301,44 @@ class PartitionedLBAProteinGNN(nn.Module):
                           if self.hidden_channels is not None else self.out_channels)
         out_dims = _as_dims(self.out_channels)
         edge_hidden = _as_dims(self.edge_hidden_channels)
-        ns = sh.node_s.shape[1]
 
         ntype_emb = TypeEmbedding(self.num_ntypes, self.ntype_emb_dim, name="ntype_embedding")
         etype_emb = TypeEmbedding(self.num_etypes, self.etype_emb_dim, name="etype_embedding")
 
         x_s = jnp.concatenate([ntype_emb(sh.node_type), sh.node_s], axis=-1)
-        e_s = jnp.concatenate([etype_emb(sh.edge_type), sh.edge_s], axis=-1)
         x = (x_s, sh.node_v)
-        eattr = (e_s, sh.edge_v)
+
+        # both edge blocks run through the same input GVP+norm (params shared
+        # by module reuse), staying in their own static shapes
+        gvp_edge = gvp.GVP(edge_hidden, activations=(None, None),
+                           vector_gate=True, name="gvp_edge_gvp")
+        edge_norm = gvp.GVPLayerNorm(name="gvp_edge_norm")
+        ei_s = jnp.concatenate([etype_emb(sh.int_type), sh.int_s], axis=-1)
+        eb_s = jnp.concatenate([etype_emb(sh.bnd_type), sh.bnd_s], axis=-1)
+        eattr_i = edge_norm(gvp_edge((ei_s, sh.int_v)))
+        eattr_b = edge_norm(gvp_edge((eb_s, sh.bnd_v)))
 
         x = gvp.GVP(hidden, activations=(None, None), vector_gate=True,
                     name="gvp_node_gvp")(x)
         x = gvp.GVPLayerNorm(name="gvp_node_norm")(x)
-        eattr = gvp.GVP(edge_hidden, activations=(None, None), vector_gate=True,
-                        name="gvp_edge_gvp")(eattr)
-        eattr = gvp.GVPLayerNorm(name="gvp_edge_norm")(eattr)
 
         for i in range(self.num_convs):
-            # refresh halo from owners, run the conv on the extended array,
-            # keep only owned rows
+            # issue the exchange; only the boundary block consumes it, so the
+            # interior conv (inside GVPConvLayer) overlaps with the collective
             halo_s = _exchange_halo(x[0], sh.send_idx, sh.send_mask, self.axis_name)
             halo_v = _exchange_halo(x[1], sh.send_idx, sh.send_mask, self.axis_name)
             x_ext = (jnp.concatenate([x[0], halo_s], axis=1),
                      jnp.concatenate([x[1], halo_v], axis=1))
-            y = gvp.GVPConvLayer(
+            x = gvp.GVPConvLayer(
                 drop_rate=self.dropout_rate,
                 activations=("relu", None),
                 vector_gate=True,
                 aggr=self.aggr,
                 name=f"conv_{i}",
-            )(x_ext, sh.edge_src_ext, sh.edge_dst, sh.edge_mask, eattr,
-              deterministic=deterministic)
-            x = (y[0][:, :ns], y[1][:, :ns])
+            )(x, sh.int_src, sh.int_dst, sh.int_mask, eattr_i,
+              deterministic=deterministic,
+              boundary=(x_ext, sh.bnd_src_ext, sh.bnd_dst, sh.bnd_mask,
+                        eattr_b))
 
         x = gvp.GVPLayerNorm(name="gvp_norm_before_scalar")(x)
         s, _ = gvp.GVP(out_dims, activations=("relu", None), vector_gate=True,
@@ -298,8 +351,10 @@ def shard_specs(axis_name: str = "gp") -> ShardedProteinGraph:
     spec = P(axis_name)
     return ShardedProteinGraph(
         node_s=spec, node_v=spec, node_type=spec, node_mask=spec,
-        edge_src_ext=spec, edge_dst=spec, edge_s=spec, edge_v=spec,
-        edge_type=spec, edge_mask=spec, send_idx=spec, send_mask=spec)
+        int_src=spec, int_dst=spec, int_s=spec, int_v=spec,
+        int_type=spec, int_mask=spec,
+        bnd_src_ext=spec, bnd_dst=spec, bnd_s=spec, bnd_v=spec,
+        bnd_type=spec, bnd_mask=spec, send_idx=spec, send_mask=spec)
 
 
 def run_partitioned(
@@ -320,11 +375,138 @@ def run_partitioned(
         out = model.apply(vars_, sh, deterministic)   # [1, Ns, out] per shard
         return out
 
-    shmap = jax.shard_map(
+    shmap = jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), shard_specs(axis)),
         out_specs=P(axis),
         check_vma=False,
-    )
+    ))
     out = shmap(variables, sharded)                    # [G, Ns, out] stacked
     return out.reshape(-1, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# JointGNN integration: gp (protein partition) x dp (pairs) 2-D mesh
+# ---------------------------------------------------------------------------
+
+class PartitionedJointGNN(JointGNN):
+    """JointGNN whose protein tower executes edge-partitioned over the
+    ``partition_axis`` mesh axis (must be called under shard_map).
+
+    The partitioned tower's per-shard residue embeddings are all_gathered
+    over the axis into the full [1, R, D] array; the molecule tower and the
+    joint head then run replicated on every gp member (identical math —
+    their parameter gradients stay exact because the train-step loss is
+    pmean'd over the gp axis as well, see partitioned_train_step). The
+    parameter tree is identical to the single-device JointGNN's.
+    """
+
+    partition_axis: str = "gp"
+
+    @nn.compact
+    def __call__(self, sharded_protein: ShardedProteinGraph, molecule_graph,
+                 deterministic: bool = True):
+        pk = {k: v for k, v in self.protein_gnn_kwargs.items()
+              if k != "base_conv"}
+        if self.protein_gnn_kwargs.get("base_conv", "lbamodel") != "lbamodel":
+            raise NotImplementedError(
+                "partitioned protein tower supports base_conv='lbamodel'")
+        tower = PartitionedLBAProteinGNN(**pk, axis_name=self.partition_axis,
+                                         name="protein_gnn")
+        res_local = tower(sharded_protein, deterministic)    # [1, Ns, D]
+        res_full = jax.lax.all_gather(res_local[0], self.partition_axis,
+                                      axis=0)                # [G, Ns, D]
+        residue_embed = res_full.reshape(1, -1, res_full.shape[-1])
+        mask_full = jax.lax.all_gather(sharded_protein.node_mask[0],
+                                       self.partition_axis, axis=0)
+        residue_mask = mask_full.reshape(1, -1)
+
+        from caster_dta_tpu.models.molecule import make_molecule_gnn
+        molecule_gnn = make_molecule_gnn(name="molecule_gnn",
+                                         **self.molecule_gnn_kwargs)
+        atom_embed = molecule_gnn(molecule_graph, deterministic=deterministic)
+        return self._head(residue_embed, atom_embed, residue_mask,
+                          molecule_graph.node_mask, deterministic)
+
+
+def partitioned_joint_in_specs(axis_name: str = "gp", dp_axis=None):
+    """(variables, sharded_protein, molecule) in_specs for shard_map."""
+    from caster_dta_tpu.data.graphs import GraphBatch
+
+    sh = shard_specs(axis_name)
+    if dp_axis is not None:
+        sh = jax.tree_util.tree_map(
+            lambda s: P(dp_axis, *s), sh,
+            is_leaf=lambda x: isinstance(x, P))
+    mol_spec = P(dp_axis) if dp_axis is not None else P()
+    mol = jax.tree_util.tree_map(lambda _: mol_spec,
+                                 GraphBatch(*([0] * 10)))
+    return sh, mol
+
+
+def run_partitioned_joint(model: PartitionedJointGNN, variables,
+                          sharded: ShardedProteinGraph, molecule, mesh: Mesh,
+                          deterministic: bool = True):
+    """Forward one pair: protein partitioned over gp, molecule replicated.
+    Returns (score [1, 1], attn_weights)."""
+    axis = model.partition_axis
+    sh_spec, mol_spec = partitioned_joint_in_specs(axis)
+
+    def fn(vars_, sh, mol):
+        score, _ = model.apply(vars_, sh, mol, deterministic)
+        return score
+
+    shmap = jax.jit(jax.shard_map(fn, mesh=mesh,
+                                  in_specs=(P(), sh_spec, mol_spec),
+                                  out_specs=P(), check_vma=False))
+    return shmap(variables, sharded, molecule)
+
+
+def partitioned_train_step(model: PartitionedJointGNN, tx, mesh: Mesh,
+                           dp_axis: Optional[str] = "dp"):
+    """Build a jitted train step over a ('dp','gp') mesh: each dp row holds
+    one pair whose protein graph is partitioned over gp.
+
+    Inputs: sharded protein stacked [B, G, ...] (B = dp size), molecule
+    GraphBatch [B, ...], target [B]. The loss is pmean'd over BOTH axes —
+    over dp because each row holds a different pair, over gp because the
+    head/molecule math is computed gp-redundantly and the 1/G factor makes
+    the shard_map transpose's psum over gp recover exact parameter
+    gradients (verified by tests/test_partition.py grad parity).
+    """
+    axis = model.partition_axis
+    sh_spec, mol_spec = partitioned_joint_in_specs(axis, dp_axis=dp_axis)
+    axes = (dp_axis, axis) if dp_axis is not None else (axis,)
+
+    def loss_fn(params, sharded, molecule, target):
+        def fwd(p, sh, mol, t):
+            if dp_axis is not None:   # drop the local dp axis (1 pair/row)
+                sh = jax.tree_util.tree_map(lambda a: a[0], sh)
+            score, _ = model.apply({"params": p}, sh, mol,
+                                   deterministic=True)
+            err = (score[0, 0] - t[0]) ** 2
+            return jax.lax.pmean(err, axes)
+
+        shmap = jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(P(), sh_spec, mol_spec,
+                      P(dp_axis) if dp_axis is not None else P()),
+            out_specs=P(), check_vma=False)
+        return shmap(params, sharded, molecule, target)
+
+    @jax.jit
+    def step(params, opt_state, sharded, molecule, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, sharded, molecule,
+                                                  target)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def stack_sharded(graphs):
+    """Stack B ShardedProteinGraphs (same budgets) into [B, G, ...] arrays
+    for the dp axis of partitioned_train_step."""
+    return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *graphs)
