@@ -54,15 +54,17 @@ def main():
     for e in tr["traceEvents"]:
         if e.get("ph") != "X" or "TPU" not in names.get(e["pid"], ""):
             continue
-        if e["name"].startswith("jit_step"):
-            continue  # outer envelope
+        if e["name"].startswith("jit_step") or e["name"].isdigit():
+            continue  # outer step envelopes
         dur = e["dur"]
         by_op[e["name"]] += dur
         total += dur
     print(f"total device us over {n} steps: {total:.0f}  "
           f"({total/n/1000:.2f} ms/step)")
-    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{v/n:10.1f} us/step  {100*v/total:5.1f}%  {k}")
+    cum = 0.0
+    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:60]:
+        cum += v
+        print(f"{v/n:10.1f} us/step  {100*v/total:5.1f}%  cum {100*cum/total:5.1f}%  {k}")
 
 
 if __name__ == "__main__":

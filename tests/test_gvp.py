@@ -135,3 +135,30 @@ def test_gvp_conv_padding_invariance(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_t[1][0]), np.asarray(out_l[1][0, :n_real]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gvp_conv_layer_remat_parity(rng):
+    """REMAT_MESSAGE=True must match the default path exactly (values and
+    gradients) — remat only changes what's stored for backward."""
+    g = _tiny_graph_batch(rng)
+    layer = gvp.GVPConvLayer(vector_gate=True, aggr="mean")
+    x = (g.node_s, g.node_v)
+    ea = (g.edge_s, g.edge_v)
+    params = layer.init(jax.random.PRNGKey(0), x, g.edge_src, g.edge_dst,
+                        g.edge_mask, ea)
+
+    def loss(p):
+        s, v = layer.apply(p, x, g.edge_src, g.edge_dst, g.edge_mask, ea)
+        return jnp.sum(s ** 2) + jnp.sum(v ** 2)
+
+    try:
+        gvp.REMAT_MESSAGE = False
+        l0, g0 = jax.value_and_grad(loss)(params)
+        gvp.REMAT_MESSAGE = True
+        l1, g1 = jax.value_and_grad(loss)(params)
+    finally:
+        gvp.REMAT_MESSAGE = None
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
