@@ -82,13 +82,16 @@ def _ladder(value: int, ladder: Sequence[int]) -> int:
     raise ValueError(f"size {value} exceeds largest bucket {ladder[-1]}")
 
 
-# node ladders sized for proteins (<=3000 residues, load_data.py:218-222 cap)
+# node ladders sized for proteins — the BindingDB parse caps sequences at
+# 3000 residues (load_data.py:218-222) but kiba/metz apply no cap (KIBA's
+# largest kinase is 4,128 residues), so the ladder tops out above that —
 # and drug-like molecules; edge ladders grow geometrically. Molecule rungs
 # are deliberately coarse: the molecule tower's cost is negligible next to
 # the protein tower, but every distinct (n_p, e_p, n_m, e_m) combination is
 # one more XLA executable to compile — fine molecule rungs multiplied bucket
 # counts 4-6x for no measurable step-time gain.
-PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
+PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
+                       3072, 4608)
 MOLECULE_NODE_LADDER = (48, 128, 256)
 EDGE_LADDER = tuple(2 ** k for k in range(4, 21))
 MOLECULE_EDGE_LADDER = (256, 1024, 4096)

@@ -126,6 +126,11 @@ def main(argv=None):
     p.add_argument("--structures-dir", type=str, default=None,
                    help="directory of pre-downloaded {protein_id}.pdb files")
     p.add_argument("--n-epochs", type=int, default=2000)
+    p.add_argument("--protein-convs", type=int, default=2,
+                   help="GVPConvLayer count in the protein tower (BASELINE "
+                        "config #3 uses 3 for the deeper Metz variant)")
+    p.add_argument("--molecule-convs", type=int, default=2,
+                   help="conv count in the molecule tower")
     p.add_argument("--n-workers", type=int, default=None)
     p.add_argument("--n-dp", type=int, default=None,
                    help="data-parallel mesh size: shard batches over this "
@@ -172,6 +177,8 @@ def main(argv=None):
     print(dataset, flush=True)
 
     pk, mk, jk = default_model_kwargs(dataset.metadata_dict)
+    pk["num_convs"] = args.protein_convs
+    mk["num_convs"] = args.molecule_convs
     model = make_joint_gnn(pk, mk, **jk)
 
     checkpoints.save_run_artifacts(
