@@ -105,3 +105,35 @@ def test_normalize_vecs_matches_reference(ref_feats, ours):
     np.testing.assert_allclose(ours.normalize_vecs(v, axis=-1),
                                ref_feats.normalize_vecs(v, axis=-1),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_esm2_path_integration(ours, monkeypatch):
+    """The include_esm2 path (reference create_protein_features.py:131-158)
+    can't download facebook/esm2_t6_8M_UR50D offline; stub the embedder and
+    verify placement: ESM block sits after angle/AA/posenc scalars and before
+    the vector features, with its 320 dims intact in both output forms."""
+    rng = np.random.default_rng(3)
+    n = 7
+    coords = _random_backbone(rng, n)
+    idents = rng.integers(0, 20, n)
+
+    captured = {}
+
+    def fake_esm(letters):
+        captured["letters"] = list(letters)
+        out = np.arange(len(letters) * 320, dtype=np.float32).reshape(-1, 320)
+        return out / 1000.0
+
+    monkeypatch.setattr(ours, "_esm2_embeddings", fake_esm)
+
+    s, v = ours.compute_residue_node_features(
+        coords, idents, vectorize_features=True, add_esm2_embeds=True)
+    assert s.shape == (n, 6 + 11 + 320) and v.shape == (n, 3, 3)
+    assert len(captured["letters"]) == n
+    np.testing.assert_allclose(
+        s[:, 17:], np.arange(n * 320).reshape(n, 320) / 1000.0, rtol=1e-6)
+
+    flat = ours.compute_residue_node_features(
+        coords, idents, vectorize_features=False, add_esm2_embeds=True)
+    assert flat.shape == (n, 6 + 11 + 320 + 9)
+    np.testing.assert_allclose(flat[:, :17 + 320], s, rtol=1e-6)
