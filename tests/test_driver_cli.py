@@ -1,0 +1,39 @@
+"""End-to-end CLI driver test: the Metz deeper-config path (--protein-convs 3
+--molecule-convs 3, BASELINE config #3) must train and write the full artifact
+set. The reference has no conv-depth flags (its config block is
+edit-the-source, train_model.py:276-331); this is the typed-config equivalent.
+"""
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+def test_driver_deeper_convs(tmp_path):
+    from caster_dta_tpu.train import driver
+
+    out = tmp_path / "run"
+    data_root = tmp_path / "data"
+    result = driver.main([
+        "--dataset", "synthetic", "--seed", "3",
+        "--out-folder", str(out), "--data-root", str(data_root),
+        "--n-epochs", "2", "--n-workers", "0",
+        "--protein-convs", "3", "--molecule-convs", "3",
+    ])
+    with open(out / "model_kwargs.json") as f:
+        mk = json.load(f)
+    assert mk["protein_gnn_kwargs"]["num_convs"] == 3
+    assert mk["molecule_gnn_kwargs"]["num_convs"] == 3
+    assert result["history"][-1]["train"] > 0
+    names = os.listdir(out)
+    assert any(n.startswith("bestvalmodel_") for n in names)
+    assert any(n.startswith("finalmodel_") for n in names)
+
+    # the deeper run reloads through the inference contract
+    from caster_dta_tpu.inference.checkpoint import (
+        load_model_from_checkpoint, template_batch)
+    model, variables, kwargs = load_model_from_checkpoint(str(out))
+    pg, mg = template_batch(kwargs)
+    score, _ = model.apply(variables, pg, mg, deterministic=True)
+    assert score.shape[0] == 1
