@@ -92,7 +92,7 @@ def _ladder(value: int, ladder: Sequence[int]) -> int:
 # counts 4-6x for no measurable step-time gain.
 PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
                        3072, 4608)
-MOLECULE_NODE_LADDER = (48, 128, 256)
+MOLECULE_NODE_LADDER = (48, 128, 256, 384)  # KIBA's largest ligand: 268 atoms
 EDGE_LADDER = tuple(2 ** k for k in range(4, 21))
 MOLECULE_EDGE_LADDER = (256, 1024, 4096)
 
