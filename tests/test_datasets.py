@@ -162,3 +162,15 @@ def test_davis_loader_golden_counts():
     # transformed pKd range sanity (5.0 floor for non-binders)
     assert df["affinity_score"].min() >= 5.0 - 1e-6
     assert df["affinity_score"].max() <= 11.0
+
+
+def test_bucket_ladders_cover_known_dataset_extremes():
+    """KIBA's largest kinase (4,128 res) and ligand (268 atoms) and the
+    BindingDB 3,000-residue cap must fit the static ladders — a run that
+    featurizes for hours must not die at loader construction."""
+    from caster_dta_tpu.data.batching import (
+        MOLECULE_NODE_LADDER, PROTEIN_NODE_LADDER, _ladder)
+
+    assert _ladder(4128, PROTEIN_NODE_LADDER) >= 4128
+    assert _ladder(3000, PROTEIN_NODE_LADDER) <= 3072
+    assert _ladder(268, MOLECULE_NODE_LADDER) >= 268
