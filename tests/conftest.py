@@ -28,3 +28,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """Trainer(compute_dtype=...) sets a process-wide trace-time policy
+    (nn/common.py); reset it after every test so a bf16 training test can't
+    leak reduced precision into later f32 parity assertions."""
+    yield
+    from caster_dta_tpu.nn import common as nn_common
+    nn_common.set_compute_dtype(None)
