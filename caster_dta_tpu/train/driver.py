@@ -176,14 +176,23 @@ def main(argv=None):
                                     n_workers=args.n_workers)
     print(dataset, flush=True)
 
-    pk, mk, jk = default_model_kwargs(dataset.metadata_dict)
-    pk["num_convs"] = args.protein_convs
-    mk["num_convs"] = args.molecule_convs
+    saved_kwargs_path = os.path.join(args.out_folder, "model_kwargs.json")
+    if args.resume and os.path.exists(saved_kwargs_path):
+        # resume rebuilds the model from the run's own saved kwargs, not the
+        # CLI flags: resuming a --protein-convs 3 run without re-passing the
+        # flag must not silently reconfigure (or clobber) the run
+        with open(saved_kwargs_path) as f:
+            saved = json.load(f)
+        pk, mk, jk = (saved["protein_gnn_kwargs"],
+                      saved["molecule_gnn_kwargs"], saved["joint_gnn_kwargs"])
+    else:
+        pk, mk, jk = default_model_kwargs(dataset.metadata_dict)
+        pk["num_convs"] = args.protein_convs
+        mk["num_convs"] = args.molecule_convs
+        checkpoints.save_run_artifacts(
+            args.out_folder, dataset_kwargs, dataset._report_scale_data(),
+            pk, mk, jk)
     model = make_joint_gnn(pk, mk, **jk)
-
-    checkpoints.save_run_artifacts(
-        args.out_folder, dataset_kwargs, dataset._report_scale_data(),
-        pk, mk, jk)
 
     max_num, max_bsize = dataset_budgets(args.dataset)
     # bf16 matmuls = the reference's AMP-on default (train_model.py:478)

@@ -509,6 +509,20 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     meter = ThroughputMeter()
 
     best_train, best_val = np.inf, np.inf
+    # retention: keep only the latest best-train/best-val file (the reference
+    # accumulates every improvement, train_model.py:666-682 — piles of stale
+    # checkpoints; we delete the superseded one after each save)
+    best_paths = {"train": None, "val": None}
+
+    def save_best(kind, loss, epoch):
+        path = os.path.join(output_folder, checkpoints.best_checkpoint_name(
+            kind, dataset_name, loss, epoch))
+        checkpoints.save_params(trainer.params, path)
+        old = best_paths[kind]
+        if old is not None and old != path and os.path.exists(old):
+            os.remove(old)
+        best_paths[kind] = path
+
     n_since_best_val = -1
     lr = config.lr
     mean_val = np.inf
@@ -531,6 +545,14 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             # replay the same epoch-indexed shuffle order a straight run
             # would use at this epoch
             getattr(train_dl, "loader", train_dl).epoch = start_epoch
+            # adopt the interrupted run's best files so retention supersedes
+            # them in place rather than accumulating a second pile
+            for kind in ("train", "val"):
+                try:
+                    best_paths[kind] = checkpoints.get_best_model(
+                        output_folder, kind)
+                except FileNotFoundError:
+                    pass
             if verbose:
                 print(f"Resumed from epoch {st['epoch']} "
                       f"(best {best_train:.4f}/{best_val:.4f})", flush=True)
@@ -544,16 +566,12 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
         marker = ""
         if mean_train < best_train:
             best_train = mean_train
-            checkpoints.save_params(trainer.params, os.path.join(
-                output_folder, checkpoints.best_checkpoint_name(
-                    "train", dataset_name, best_train, epoch)))
+            save_best("train", best_train, epoch)
             marker += "*"
         if mean_val < best_val:
             best_val = mean_val
             n_since_best_val = 0
-            checkpoints.save_params(trainer.params, os.path.join(
-                output_folder, checkpoints.best_checkpoint_name(
-                    "val", dataset_name, best_val, epoch)))
+            save_best("val", best_val, epoch)
             marker += "**"
         history.append({"epoch": epoch, "lr": lr, "train": mean_train,
                         "val": mean_val, "time_s": time.time() - t0,

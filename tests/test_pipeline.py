@@ -121,6 +121,10 @@ def test_training_loss_decreases(dataset, tmp_path):
     assert any(f.startswith("bestvalmodel_") for f in files)
     assert any(f.startswith("finalmodel_") for f in files)
     assert "model_summary.txt" in files
+    # retention: superseded best checkpoints are deleted as training improves
+    # (40 epochs of falling loss would otherwise pile up dozens of files)
+    assert sum(f.startswith("bestvalmodel_") for f in files) == 1
+    assert sum(f.startswith("besttrainmodel_") for f in files) == 1
     # leakage report (reference train_model.py:807-824): split sizes add up
     # and the dedup'd entity counts are consistent
     leak = res["leakage"]
