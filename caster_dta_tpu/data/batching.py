@@ -279,6 +279,211 @@ class BucketedLoader:
             pair_idx=np.asarray(full_idxs, np.int32))
 
 
+def split_overflow_indices(dataset, indices=None,
+                           protein_node_ladder=PROTEIN_NODE_LADDER):
+    """Split pair indices into (within-ladder, ladder-overflow) by protein
+    size. Overflow pairs route to the edge-partitioned executor
+    (PartitionedLoader / parallel/partition.py) instead of raising — the
+    capability the reference lacks (it *caps* protein size instead,
+    load_data.py:218-222)."""
+    indices = list(indices if indices is not None else range(len(dataset)))
+    cap = protein_node_ladder[-1]
+    within, overflow = [], []
+    for i in indices:
+        pg, _, _ = dataset[int(i)]
+        (overflow if pg["n_nodes"] > cap else within).append(int(i))
+    return within, overflow
+
+
+# halo slots per peer are laddered separately (they're much smaller than
+# edge counts: the number of distinct remote source nodes per peer shard)
+HALO_LADDER = tuple(2 ** k for k in range(3, 14))
+
+
+@struct.dataclass
+class PartitionedPairBatch:
+    """B pairs whose protein graphs are edge-partitioned over G shards.
+
+    ``sharded`` leaves are batch-first stacked ``[B, G, ...]`` (see
+    parallel/partition.py ShardedProteinGraph); molecule is the usual
+    padded GraphBatch ``[B, ...]``. Padding pairs repeat the last pair with
+    weight 0, exactly like PairBatch."""
+
+    sharded: object          # ShardedProteinGraph, leaves [B, G, ...]
+    molecule: GraphBatch
+    target: np.ndarray       # f32 [B]
+    weight: np.ndarray       # f32 [B]
+    pair_idx: np.ndarray     # i32 [B]
+
+
+class PartitionedLoader:
+    """Batches of ladder-overflow pairs for the gp-partitioned train path.
+
+    Buckets by (nodes/shard, interior-edge, boundary-edge, halo, molecule)
+    budgets the way BucketedLoader buckets by pad shapes: each distinct
+    budget tuple is one compiled partitioned executable. Per-protein
+    partition plans are computed once (vectorized numpy, parallel/
+    partition.py) and the final budget-padded shards are LRU-cached.
+    """
+
+    def __init__(self, dataset, indices, gp: int,
+                 max_num: int = 12_000_000,
+                 max_batch_size: Optional[int] = 128,
+                 shuffle: bool = True, seed: int = 0,
+                 include_nodepair: bool = True,
+                 protein_node_ladder=PROTEIN_NODE_LADDER,
+                 edge_ladder=EDGE_LADDER,
+                 halo_ladder=HALO_LADDER,
+                 molecule_node_ladder=MOLECULE_NODE_LADDER,
+                 molecule_edge_ladder=MOLECULE_EDGE_LADDER,
+                 batch_multiple: int = 1,
+                 pad_cache_bytes: int = 2_000_000_000):
+        from caster_dta_tpu.parallel.partition import partition_protein_graph
+
+        self.dataset = dataset
+        self.gp = int(gp)
+        self.indices = np.asarray(indices)
+        self.max_num = max_num
+        self.max_batch_size = max_batch_size or 1 << 30
+        self.shuffle = shuffle
+        self.include_nodepair = include_nodepair
+        self.seed = seed
+        self.epoch = 0
+        self.batch_multiple = max(1, int(batch_multiple))
+        self._partition = partition_protein_graph
+        self._cache = _LRUPadCache(pad_cache_bytes)
+
+        # per-protein partition requirements -> laddered budgets; one sizing
+        # pass per unique protein (plan only, arrays discarded)
+        self._bucket_of = {}
+        prot_budget = {}
+        for i in self.indices:
+            pg, mg, _ = dataset[int(i)]
+            pid, _ = dataset.pair_indices[int(i)]
+            if pid not in prot_budget:
+                ns = _ladder(-(-int(pg["n_nodes"]) // self.gp),
+                             protein_node_ladder)
+                probe = partition_protein_graph(
+                    pg["node_s"], pg["node_v"], pg["edge_index"],
+                    pg["edge_s"], pg["edge_v"], pg["node_type"],
+                    pg["edge_type"], n_shards=self.gp, nodes_per_shard=ns)
+                prot_budget[pid] = (
+                    ns,
+                    _ladder(probe.int_src.shape[1], edge_ladder),
+                    _ladder(probe.bnd_src_ext.shape[1], edge_ladder),
+                    _ladder(probe.halo_per_peer, halo_ladder))
+            self._bucket_of[int(i)] = prot_budget[pid] + (
+                _ladder(mg["n_nodes"], molecule_node_ladder),
+                _ladder(mg["n_edges"], molecule_edge_ladder))
+
+    def bucket_batch_size(self, bucket) -> int:
+        ns, ei, eb, hh, n_m, e_m = bucket
+        cost = self.gp * (ei + eb) + e_m
+        if self.include_nodepair:
+            cost += (self.gp * ns) * n_m
+        bs = int(np.clip(self.max_num // max(cost, 1), 1, self.max_batch_size))
+        m = self.batch_multiple
+        return ((bs + m - 1) // m) * m
+
+    def buckets(self):
+        out = {}
+        for i, b in self._bucket_of.items():
+            out.setdefault(b, []).append(i)
+        return out
+
+    def __len__(self):
+        n = 0
+        for b, idxs in self.buckets().items():
+            bs = self.bucket_batch_size(b)
+            n += (len(idxs) + bs - 1) // bs
+        return n
+
+    @property
+    def n_pairs(self) -> int:
+        return len(self.indices)
+
+    def iter_index_batches(self):
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        self.epoch += 1
+        queues: dict = {}
+        for i in order:
+            b = self._bucket_of[int(i)]
+            q = queues.setdefault(b, [])
+            q.append(int(i))
+            if len(q) >= self.bucket_batch_size(b):
+                yield b, q
+                queues[b] = []
+        for b, q in queues.items():
+            if q:
+                yield b, q
+
+    def _sharded(self, pid, pg, bucket):
+        ns, ei, eb, hh, _, _ = bucket
+        import dataclasses
+
+        key = (pid, ns, ei, eb, hh)
+        hit = self._cache.get(key)
+        if hit is None:
+            sh = self._partition(
+                pg["node_s"], pg["node_v"], pg["edge_index"], pg["edge_s"],
+                pg["edge_v"], pg["node_type"], pg["edge_type"],
+                n_shards=self.gp, nodes_per_shard=ns,
+                interior_edges_per_shard=ei, boundary_edges_per_shard=eb,
+                halo_per_peer=hh)
+            hit = {f.name: np.asarray(getattr(sh, f.name))
+                   for f in dataclasses.fields(sh)}
+            self._cache.put(key, hit)
+        return hit
+
+    def _padded_mol(self, mid, mg, n_m, e_m):
+        key = ("m", mid, n_m, e_m)
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = pad_graph(
+                node_s=mg["node_s"], node_v=mg["node_v"],
+                edge_index=mg["edge_index"], edge_s=mg["edge_s"],
+                edge_v=mg["edge_v"], node_type=mg["node_type"],
+                edge_type=mg["edge_type"], n_pad=n_m, e_pad=e_m)
+            self._cache.put(key, hit)
+        return hit
+
+    def _assemble(self, bucket, idxs) -> PartitionedPairBatch:
+        from caster_dta_tpu.parallel.partition import ShardedProteinGraph
+
+        ns, ei, eb, hh, n_m, e_m = bucket
+        bs = self.bucket_batch_size(bucket)
+        weight = np.zeros(bs, np.float32)
+        weight[:len(idxs)] = 1.0
+        full_idxs = list(idxs) + [idxs[-1]] * (bs - len(idxs))
+
+        shards, mols, targets = [], [], []
+        n_edges = 0
+        for i in full_idxs:
+            pg, mg, target = self.dataset[i]
+            pid, mid = self.dataset.pair_indices[i]
+            shards.append(self._sharded(pid, pg, bucket))
+            mols.append(self._padded_mol(mid, mg, n_m, e_m))
+            targets.append(target)
+        for i in idxs:
+            pg, mg, _ = self.dataset[i]
+            n_edges += int(pg["n_edges"]) + int(mg["n_edges"])
+        self.last_batch_edges = n_edges
+        sharded = ShardedProteinGraph(
+            **{k: np.stack([s[k] for s in shards]) for k in shards[0]})
+        return PartitionedPairBatch(
+            sharded=sharded,
+            molecule=stack_graphs(mols),
+            target=np.asarray(targets, np.float32),
+            weight=weight,
+            pair_idx=np.asarray(full_idxs, np.int32))
+
+    def __iter__(self):
+        for b, q in self.iter_index_batches():
+            yield self._assemble(b, q)
+
+
 def dataset_budgets(dataset_name: str):
     """Per-dataset element budget / max batch size (train_model.py:240-248)."""
     if dataset_name == "kiba":

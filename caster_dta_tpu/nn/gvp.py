@@ -172,28 +172,52 @@ class GVPLayerNorm(nn.Module):
 
 class GVPDropout(nn.Module):
     """(s, V) dropout; whole 3-vector channels drop together
-    (reference gvp_layers.py:177-219)."""
+    (reference gvp_layers.py:177-219).
+
+    ``shard_rows=(axis_name, n_shards)`` makes the mask *partition-invariant*
+    for node features sharded over a mesh axis (parallel/partition.py): every
+    shard draws the bernoulli mask for the GLOBAL row count ``n_shards * Ns``
+    from the same key and slices its own rows, so an edge-partitioned model
+    applies exactly the mask the single-device model would — dropout does not
+    make the partitioned model a different model.
+    """
 
     rate: float
+    shard_rows: Optional[Tuple[str, int]] = None
 
     @nn.compact
     def __call__(self, x: SV, deterministic: bool) -> SV:
         s, v = x
         if self.rate == 0.0 or deterministic:
             return x
-        s = _dropout(s, self.rate, self.make_rng("dropout"), s.shape)
+        s = _dropout(s, self.rate, self.make_rng("dropout"), s.shape,
+                     self.shard_rows)
         if v.shape[-2]:
-            v = _vdropout(v, self.rate, self.make_rng("dropout"))
+            v = _vdropout(v, self.rate, self.make_rng("dropout"),
+                          self.shard_rows)
         return s, v
 
 
-def _dropout(x, rate, rng, mask_shape):
-    keep = jax.random.bernoulli(rng, 1.0 - rate, mask_shape)
+def _keep_mask(rng, rate, local_shape, shard_rows):
+    """Bernoulli keep-mask; with shard_rows, slice the local rows (axis 1)
+    out of the global-canonical mask so partitioning doesn't change it."""
+    if shard_rows is None:
+        return jax.random.bernoulli(rng, 1.0 - rate, local_shape)
+    axis_name, n_shards = shard_rows
+    ns = local_shape[1]
+    full = (local_shape[0], n_shards * ns) + tuple(local_shape[2:])
+    keep = jax.random.bernoulli(rng, 1.0 - rate, full)
+    off = jax.lax.axis_index(axis_name) * ns
+    return jax.lax.dynamic_slice_in_dim(keep, off, ns, axis=1)
+
+
+def _dropout(x, rate, rng, mask_shape, shard_rows=None):
+    keep = _keep_mask(rng, rate, mask_shape, shard_rows)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _vdropout(v, rate, rng):
-    keep = jax.random.bernoulli(rng, 1.0 - rate, v.shape[:-1])
+def _vdropout(v, rate, rng, shard_rows=None):
+    keep = _keep_mask(rng, rate, v.shape[:-1], shard_rows)
     return jnp.where(keep[..., None], v / (1.0 - rate), 0.0)
 
 
@@ -337,6 +361,9 @@ class GVPConvLayer(nn.Module):
     activations: Tuple = ("relu", "sigmoid")
     vector_gate: bool = False
     aggr: Optional[str] = None
+    # (axis_name, n_shards) when node rows are partitioned over a mesh axis:
+    # dropout masks become partition-invariant (see GVPDropout.shard_rows)
+    dropout_shard_rows: Optional[Tuple[str, int]] = None
 
     @nn.compact
     def __call__(self, x: SV, edge_src, edge_dst, edge_mask, edge_attr: SV,
@@ -403,7 +430,8 @@ class GVPConvLayer(nn.Module):
             dh = conv(x, edge_src, edge_dst, edge_mask, edge_attr)
 
         x_in = x
-        dh = GVPDropout(self.drop_rate, name="dropout0")(dh, deterministic)
+        dh = GVPDropout(self.drop_rate, shard_rows=self.dropout_shard_rows,
+                        name="dropout0")(dh, deterministic)
         h = GVPLayerNorm(name="norm0")(tuple_sum(x, dh))
 
         ff = h
@@ -419,7 +447,8 @@ class GVPConvLayer(nn.Module):
             ff = GVP(node_dims, activations=(None, None), vector_gate=self.vector_gate,
                      name=f"ff_{self.n_feedforward - 1}")(ff)
 
-        ff = GVPDropout(self.drop_rate, name="dropout1")(ff, deterministic)
+        ff = GVPDropout(self.drop_rate, shard_rows=self.dropout_shard_rows,
+                        name="dropout1")(ff, deterministic)
         out = GVPLayerNorm(name="norm1")(tuple_sum(h, ff))
 
         if node_mask is not None:

@@ -46,20 +46,23 @@ def replicate_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
+def shard_batch(batch, mesh: Mesh, axis_name=None):
     """Place a training-loop batch for data-parallel execution.
 
-    - PairBatch: every leaf has a leading batch dim -> shard it over dp.
+    - PairBatch: every leaf has a leading batch dim -> shard it over the
+      mesh's axes (ALL of them flattened by default, so a 2-D dp x gp mesh
+      keeps every device busy on standard buckets too).
     - StoreBatch: the graph stores are assumed already replicated (see
       DeviceResidentLoader(store_sharding=...)); the small host-side row/
       target/weight arrays shard their batch dim.
-    - MegaBatch: per-step arrays are [k, B] -> shard B (axis 1) over dp.
+    - MegaBatch: per-step arrays are [k, B] -> shard B (axis 1).
 
     With params replicated and batches sharded this way, jit/GSPMD inserts
     the cross-device loss psum and gradient all-reduce automatically.
     """
     from caster_dta_tpu.data.device_cache import MegaBatch, StoreBatch
 
+    axis_name = axis_name if axis_name is not None else tuple(mesh.axis_names)
     row = NamedSharding(mesh, P(axis_name))
     if isinstance(batch, StoreBatch):
         put = lambda a: jax.device_put(np.asarray(a), row)

@@ -253,24 +253,39 @@ def partition_protein_graph(
 
 def _exchange_halo(feat: jnp.ndarray, send_idx: jnp.ndarray,
                    send_mask: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """One halo exchange inside shard_map.
+    """One halo exchange inside shard_map (batched over pairs).
 
-    feat [1, Ns, ...] local features; send_idx/send_mask [1, G, H].
-    Returns the halo buffer [1, G*H, ...] where rows ``h*H:(h+1)*H`` are the
+    feat [B, Ns, ...] local features; send_idx/send_mask [B, G, H].
+    Returns the halo buffer [B, G*H, ...] where rows ``h*H:(h+1)*H`` are the
     features shard ``h`` owns (masked slots zeroed).
     """
-    buf = feat[0][send_idx[0]]                       # [G, H, ...]
-    mask = send_mask[0].reshape(send_mask.shape[1:] + (1,) * (buf.ndim - 2))
+    from caster_dta_tpu.ops import segment
+
+    b, g, h = send_idx.shape
+    buf = segment.gather_nodes(feat, send_idx.reshape(b, g * h))
+    buf = buf.reshape((b, g, h) + buf.shape[2:])     # [B, G, H, ...]
+    mask = send_mask.reshape((b, g, h) + (1,) * (buf.ndim - 3))
     buf = buf * mask
-    recv = jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0,
+    recv = jax.lax.all_to_all(buf, axis_name, split_axis=1, concat_axis=1,
                               tiled=False)
-    # tiled=False with leading axis == group size: recv[h] = what h sent us
-    return recv.reshape((1, -1) + recv.shape[2:])
+    # tiled=False with split-axis size == group size: recv[:, h] = what shard
+    # h sent us
+    return recv.reshape((b, g * h) + recv.shape[3:])
+
+
+def _local(tree):
+    """Strip the gp-sharded axis (size 1 locally): [B, 1, ...] -> [B, ...]."""
+    return jax.tree_util.tree_map(lambda a: a[:, 0], tree)
 
 
 class PartitionedLBAProteinGNN(nn.Module):
-    """``VectorProteinGNN_LBAModel`` executing one graph partitioned over the
+    """``VectorProteinGNN_LBAModel`` executing graphs partitioned over the
     ``axis_name`` mesh axis (call under shard_map; see run_partitioned).
+
+    Input leaves are the LOCAL slices of batch-first stacked arrays
+    ``[B, 1, ...]`` (global ``[B, G, ...]`` with the gp axis sharded); all
+    node/edge math runs batched over the B pairs exactly like the
+    single-device model over ``[B, N, ...]``.
 
     Declares identical flax submodule names to the single-device model
     (models/protein.py:33-91), so the same parameter tree applies. Each conv
@@ -278,6 +293,11 @@ class PartitionedLBAProteinGNN(nn.Module):
     with no mutual dependency — the collective overlaps with interior
     compute — then adds the boundary block's contribution (shared conv
     params via GVPConvLayer's ``boundary`` argument).
+
+    With ``n_shards`` set, dropout masks are sliced from the global-canonical
+    mask (nn/gvp.py GVPDropout.shard_rows), so training with dropout is
+    mathematically identical to the single-device model — partitioning never
+    changes the model.
     """
 
     in_channels: Dims
@@ -294,6 +314,7 @@ class PartitionedLBAProteinGNN(nn.Module):
     edge_hidden_channels: Union[int, Dims] = (32, 1)
     aggr: str = "mean"
     axis_name: str = "gp"
+    n_shards: Optional[int] = None   # required for dropout (mask parity)
 
     @nn.compact
     def __call__(self, sh: ShardedProteinGraph, deterministic: bool = True) -> jnp.ndarray:
@@ -301,6 +322,7 @@ class PartitionedLBAProteinGNN(nn.Module):
                           if self.hidden_channels is not None else self.out_channels)
         out_dims = _as_dims(self.out_channels)
         edge_hidden = _as_dims(self.edge_hidden_channels)
+        sh = _local(sh)   # [B, 1, ...] -> [B, ...]
 
         ntype_emb = TypeEmbedding(self.num_ntypes, self.ntype_emb_dim, name="ntype_embedding")
         etype_emb = TypeEmbedding(self.num_etypes, self.etype_emb_dim, name="etype_embedding")
@@ -322,6 +344,16 @@ class PartitionedLBAProteinGNN(nn.Module):
                     name="gvp_node_gvp")(x)
         x = gvp.GVPLayerNorm(name="gvp_node_norm")(x)
 
+        shard_rows = ((self.axis_name, self.n_shards)
+                      if self.n_shards is not None else None)
+        if (not deterministic and self.dropout_rate > 0.0
+                and shard_rows is None):
+            raise ValueError(
+                "partitioned training with dropout requires n_shards (the "
+                "gp mesh size) so masks slice from the global-canonical "
+                "pattern — otherwise every shard would draw the SAME mask "
+                "from the shared key and the model would silently differ "
+                "from its single-device counterpart")
         for i in range(self.num_convs):
             # issue the exchange; only the boundary block consumes it, so the
             # interior conv (inside GVPConvLayer) overlaps with the collective
@@ -334,6 +366,7 @@ class PartitionedLBAProteinGNN(nn.Module):
                 activations=("relu", None),
                 vector_gate=True,
                 aggr=self.aggr,
+                dropout_shard_rows=shard_rows,
                 name=f"conv_{i}",
             )(x, sh.int_src, sh.int_dst, sh.int_mask, eattr_i,
               deterministic=deterministic,
@@ -346,9 +379,12 @@ class PartitionedLBAProteinGNN(nn.Module):
         return s
 
 
-def shard_specs(axis_name: str = "gp") -> ShardedProteinGraph:
-    """PartitionSpecs for shard_map in_specs (leading axis = shard)."""
-    spec = P(axis_name)
+def shard_specs(axis_name: str = "gp",
+                dp_axis: Optional[str] = None) -> ShardedProteinGraph:
+    """PartitionSpecs for shard_map in_specs over batch-first stacked arrays
+    ``[B, G, ...]``: batch dim over ``dp_axis`` (or replicated), shard dim
+    over ``axis_name``."""
+    spec = P(dp_axis, axis_name)
     return ShardedProteinGraph(
         node_s=spec, node_v=spec, node_type=spec, node_mask=spec,
         int_src=spec, int_dst=spec, int_s=spec, int_v=spec,
@@ -364,25 +400,26 @@ def run_partitioned(
     mesh: Mesh,
     deterministic: bool = True,
 ) -> jnp.ndarray:
-    """Apply the partitioned protein tower over ``mesh`` (axis = model.axis_name).
+    """Apply the partitioned protein tower over ``mesh`` (axis = model.axis_name)
+    to ONE graph (unbatched ``[G, ...]`` leaves).
 
     Returns per-residue scalar embeddings [G*Ns, out] in global node order
-    (gather of the per-shard outputs).
+    (concatenation of the per-shard outputs).
     """
     axis = model.axis_name
 
     def fn(vars_, sh):
-        out = model.apply(vars_, sh, deterministic)   # [1, Ns, out] per shard
-        return out
+        return model.apply(vars_, sh, deterministic)  # [1, Ns, out] local
 
     shmap = jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), shard_specs(axis)),
-        out_specs=P(axis),
+        out_specs=P(None, axis),
         check_vma=False,
     ))
-    out = shmap(variables, sharded)                    # [G, Ns, out] stacked
-    return out.reshape(-1, out.shape[-1])
+    batched = jax.tree_util.tree_map(lambda a: a[None], sharded)
+    out = shmap(variables, batched)                    # [1, G*Ns, out]
+    return out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -393,15 +430,18 @@ class PartitionedJointGNN(JointGNN):
     """JointGNN whose protein tower executes edge-partitioned over the
     ``partition_axis`` mesh axis (must be called under shard_map).
 
-    The partitioned tower's per-shard residue embeddings are all_gathered
-    over the axis into the full [1, R, D] array; the molecule tower and the
-    joint head then run replicated on every gp member (identical math —
-    their parameter gradients stay exact because the train-step loss is
-    pmean'd over the gp axis as well, see partitioned_train_step). The
-    parameter tree is identical to the single-device JointGNN's.
+    Batched: the sharded protein input carries B pairs ([B, 1, ...] local
+    leaves); the molecule GraphBatch is the usual [B, ...]. The partitioned
+    tower's per-shard residue embeddings are all_gathered over the axis into
+    the full [B, R, D] array; the molecule tower and the joint head then run
+    replicated on every gp member (identical math — their parameter
+    gradients stay exact because the train-step loss is pmean'd over the gp
+    axis as well, see make_partitioned_fit_steps). The parameter tree is
+    identical to the single-device JointGNN's.
     """
 
     partition_axis: str = "gp"
+    n_shards: Optional[int] = None
 
     @nn.compact
     def __call__(self, sharded_protein: ShardedProteinGraph, molecule_graph,
@@ -412,14 +452,14 @@ class PartitionedJointGNN(JointGNN):
             raise NotImplementedError(
                 "partitioned protein tower supports base_conv='lbamodel'")
         tower = PartitionedLBAProteinGNN(**pk, axis_name=self.partition_axis,
+                                         n_shards=self.n_shards,
                                          name="protein_gnn")
-        res_local = tower(sharded_protein, deterministic)    # [1, Ns, D]
-        res_full = jax.lax.all_gather(res_local[0], self.partition_axis,
-                                      axis=0)                # [G, Ns, D]
-        residue_embed = res_full.reshape(1, -1, res_full.shape[-1])
-        mask_full = jax.lax.all_gather(sharded_protein.node_mask[0],
-                                       self.partition_axis, axis=0)
-        residue_mask = mask_full.reshape(1, -1)
+        res_local = tower(sharded_protein, deterministic)    # [B, Ns, D]
+        residue_embed = jax.lax.all_gather(
+            res_local, self.partition_axis, axis=1, tiled=True)  # [B, G*Ns, D]
+        residue_mask = jax.lax.all_gather(
+            sharded_protein.node_mask[:, 0], self.partition_axis,
+            axis=1, tiled=True)                                  # [B, G*Ns]
 
         from caster_dta_tpu.models.molecule import make_molecule_gnn
         molecule_gnn = make_molecule_gnn(name="molecule_gnn",
@@ -429,16 +469,32 @@ class PartitionedJointGNN(JointGNN):
                           molecule_graph.node_mask, deterministic)
 
 
+def from_joint(model: JointGNN, axis_name: str = "gp",
+               n_shards: Optional[int] = None) -> PartitionedJointGNN:
+    """The partitioned twin of a JointGNN (same kwargs, same param tree)."""
+    return PartitionedJointGNN(
+        protein_gnn_kwargs=model.protein_gnn_kwargs,
+        molecule_gnn_kwargs=model.molecule_gnn_kwargs,
+        **{f: getattr(model, f) for f in _JOINT_HEAD_FIELDS},
+        partition_axis=axis_name, n_shards=n_shards)
+
+
+import dataclasses as _dataclasses
+
+_JOINT_HEAD_FIELDS = tuple(
+    f.name for f in _dataclasses.fields(JointGNN)
+    if f.name not in ("protein_gnn_kwargs", "molecule_gnn_kwargs",
+                      "parent", "name"))
+
+
 def partitioned_joint_in_specs(axis_name: str = "gp", dp_axis=None):
-    """(variables, sharded_protein, molecule) in_specs for shard_map."""
+    """(sharded_protein, molecule) in_specs for shard_map over batch-first
+    arrays: sharded leaves [B, G, ...] -> P(dp, gp); molecule [B, ...] ->
+    P(dp)."""
     from caster_dta_tpu.data.graphs import GraphBatch
 
-    sh = shard_specs(axis_name)
-    if dp_axis is not None:
-        sh = jax.tree_util.tree_map(
-            lambda s: P(dp_axis, *s), sh,
-            is_leaf=lambda x: isinstance(x, P))
-    mol_spec = P(dp_axis) if dp_axis is not None else P()
+    sh = shard_specs(axis_name, dp_axis)
+    mol_spec = P(dp_axis)
     mol = jax.tree_util.tree_map(lambda _: mol_spec,
                                  GraphBatch(*([0] * 10)))
     return sh, mol
@@ -447,8 +503,8 @@ def partitioned_joint_in_specs(axis_name: str = "gp", dp_axis=None):
 def run_partitioned_joint(model: PartitionedJointGNN, variables,
                           sharded: ShardedProteinGraph, molecule, mesh: Mesh,
                           deterministic: bool = True):
-    """Forward one pair: protein partitioned over gp, molecule replicated.
-    Returns (score [1, 1], attn_weights)."""
+    """Forward one pair ([G, ...] sharded leaves, [1, ...] molecule):
+    protein partitioned over gp, molecule replicated. Returns score [1, 1]."""
     axis = model.partition_axis
     sh_spec, mol_spec = partitioned_joint_in_specs(axis)
 
@@ -459,38 +515,37 @@ def run_partitioned_joint(model: PartitionedJointGNN, variables,
     shmap = jax.jit(jax.shard_map(fn, mesh=mesh,
                                   in_specs=(P(), sh_spec, mol_spec),
                                   out_specs=P(), check_vma=False))
-    return shmap(variables, sharded, molecule)
+    batched = jax.tree_util.tree_map(lambda a: a[None], sharded)
+    return shmap(variables, batched, molecule)
 
 
 def partitioned_train_step(model: PartitionedJointGNN, tx, mesh: Mesh,
                            dp_axis: Optional[str] = "dp"):
-    """Build a jitted train step over a ('dp','gp') mesh: each dp row holds
-    one pair whose protein graph is partitioned over gp.
-
-    Inputs: sharded protein stacked [B, G, ...] (B = dp size), molecule
-    GraphBatch [B, ...], target [B]. The loss is pmean'd over BOTH axes —
-    over dp because each row holds a different pair, over gp because the
-    head/molecule math is computed gp-redundantly and the 1/G factor makes
-    the shard_map transpose's psum over gp recover exact parameter
-    gradients (verified by tests/test_partition.py grad parity).
+    """Build a jitted deterministic train step over a ('dp','gp') mesh:
+    sharded protein stacked [B, G, ...], molecule GraphBatch [B, ...],
+    target [B]; B shards over dp (each dp member computes its local pairs
+    batched). The loss is a pmean over dp of local means and a pmean over gp
+    of the (gp-identical) result — the 1/G factor makes the shard_map
+    transpose's psum over gp recover exact parameter gradients for the
+    gp-redundant head/molecule math (verified by tests/test_partition.py
+    grad parity). Training inside fit() uses make_partitioned_fit_steps
+    (dropout + pair weights + lr injection) instead.
     """
     axis = model.partition_axis
     sh_spec, mol_spec = partitioned_joint_in_specs(axis, dp_axis=dp_axis)
-    axes = (dp_axis, axis) if dp_axis is not None else (axis,)
 
     def loss_fn(params, sharded, molecule, target):
         def fwd(p, sh, mol, t):
-            if dp_axis is not None:   # drop the local dp axis (1 pair/row)
-                sh = jax.tree_util.tree_map(lambda a: a[0], sh)
             score, _ = model.apply({"params": p}, sh, mol,
                                    deterministic=True)
-            err = (score[0, 0] - t[0]) ** 2
-            return jax.lax.pmean(err, axes)
+            err = jnp.mean((score[:, 0] - t) ** 2)
+            if dp_axis is not None:
+                err = jax.lax.pmean(err, dp_axis)
+            return jax.lax.pmean(err, axis)
 
         shmap = jax.shard_map(
             fwd, mesh=mesh,
-            in_specs=(P(), sh_spec, mol_spec,
-                      P(dp_axis) if dp_axis is not None else P()),
+            in_specs=(P(), sh_spec, mol_spec, P(dp_axis)),
             out_specs=P(), check_vma=False)
         return shmap(params, sharded, molecule, target)
 
@@ -506,7 +561,86 @@ def partitioned_train_step(model: PartitionedJointGNN, tx, mesh: Mesh,
     return step
 
 
+def make_partitioned_fit_steps(model: PartitionedJointGNN, tx, mesh: Mesh,
+                               extra_vars=None, dp_axis: Optional[str] = "dp"):
+    """(train_step, eval_step) for fit()'s partitioned sub-epochs, mirroring
+    train/loop.py's step contract.
+
+    train_step(params, opt_state, batch, rng, lr)
+        -> (params, opt_state, loss, pred, rng)
+    eval_step(params, batch) -> pred [B]
+
+    ``batch`` is a data/batching.py PartitionedPairBatch: sharded protein
+    leaves [B, G, ...], molecule GraphBatch [B, ...], target/weight [B].
+    Padded pairs carry weight 0 and are excluded from the loss exactly like
+    the standard step. Dropout runs with the global-canonical masks
+    (PartitionedLBAProteinGNN.n_shards), with the dp-row key folded by dp
+    index when dp>1 so different rows draw independent masks.
+    """
+    import functools
+
+    import optax
+
+    from caster_dta_tpu.train.optim import set_learning_rate
+
+    axis = model.partition_axis
+    extra_vars = extra_vars or {}
+    sh_spec, mol_spec = partitioned_joint_in_specs(axis, dp_axis=dp_axis)
+    dp_size = mesh.shape[dp_axis] if dp_axis is not None else 1
+
+    def fwd(p, sh, mol, t, w, key, deterministic):
+        if key is not None and dp_size > 1:
+            key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
+        rngs = {"dropout": key} if key is not None else None
+        score, _ = model.apply({"params": p, **extra_vars}, sh, mol,
+                               deterministic=deterministic, rngs=rngs)
+        pred = score[:, 0].astype(jnp.float32)
+        num = jnp.sum(w * (pred - t) ** 2)
+        den = jnp.sum(w)
+        if dp_axis is not None:
+            num = jax.lax.psum(num, dp_axis)
+            den = jax.lax.psum(den, dp_axis)
+        loss = num / jnp.maximum(den, 1.0)
+        # value-preserving pmean over gp: the transpose's psum over the
+        # gp-redundant replicas then carries a 1/G factor -> exact grads
+        loss = jax.lax.pmean(loss, axis)
+        return loss, pred
+
+    in_specs = (P(), sh_spec, mol_spec, P(dp_axis), P(dp_axis), P())
+    out_specs = (P(), P(dp_axis))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+    def train_step(params, opt_state, batch, rng, lr):
+        rng, step_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            shmap = jax.shard_map(
+                functools.partial(fwd, deterministic=False), mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs, check_vma=False)
+            return shmap(params, batch.sharded, batch.molecule,
+                         batch.target, batch.weight, step_rng)
+
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        set_learning_rate(opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, pred, rng
+
+    @jax.jit
+    def eval_step(params, batch):
+        def fn(p, sh, mol, t, w):
+            _, pred = fwd(p, sh, mol, t, w, None, True)
+            return pred
+
+        shmap = jax.shard_map(fn, mesh=mesh, in_specs=in_specs[:-1],
+                              out_specs=P(dp_axis), check_vma=False)
+        return shmap(params, batch.sharded, batch.molecule,
+                     batch.target, batch.weight)
+
+    return train_step, eval_step
+
+
 def stack_sharded(graphs):
     """Stack B ShardedProteinGraphs (same budgets) into [B, G, ...] arrays
-    for the dp axis of partitioned_train_step."""
+    (the batch-first layout consumed by the partitioned steps)."""
     return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *graphs)

@@ -136,6 +136,12 @@ def main(argv=None):
                    help="data-parallel mesh size: shard batches over this "
                         "many devices (params replicated, gradient "
                         "all-reduce over ICI). Default: single device.")
+    p.add_argument("--gp", type=int, default=None,
+                   help="graph-partition mesh size: proteins larger than "
+                        "the bucket ladder train edge-partitioned over this "
+                        "many devices with per-layer halo exchange "
+                        "(parallel/partition.py) instead of raising. "
+                        "Total devices = n_dp * gp.")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from the out-folder's "
                         "train_state.msgpack (full params+optimizer+"
@@ -144,7 +150,28 @@ def main(argv=None):
                    help="generate placeholder helix-backbone PDBs for "
                         "proteins without a structure file (offline/e2e "
                         "testing without the acquisition layer)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host bootstrap: coordinator address "
+                        "(host:port) for jax.distributed.initialize. On TPU "
+                        "pods all three multi-host flags auto-detect from "
+                        "the environment; pass them explicitly elsewhere. "
+                        "After initialization jax.devices() spans every "
+                        "host, so --n-dp/--gp meshes scale across the pod "
+                        "(dp gradient all-reduce rides ICI within a slice "
+                        "and DCN across slices).")
+    p.add_argument("--n-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's index")
     args = p.parse_args(argv)
+
+    if (args.coordinator is not None or args.n_processes is not None
+            or args.process_id is not None
+            or os.environ.get("CASTER_DTA_MULTIHOST")):
+        from caster_dta_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.n_processes,
+                         process_id=args.process_id)
 
     # persistent XLA compilation cache: per-bucket executables survive across
     # runs (first Davis run compiles ~10 bucket shapes; reruns start hot)
@@ -198,7 +225,7 @@ def main(argv=None):
     # bf16 matmuls = the reference's AMP-on default (train_model.py:478)
     cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed,
                       resume=args.resume, compute_dtype="bfloat16",
-                      n_dp=args.n_dp)
+                      n_dp=args.n_dp, gp=args.gp)
 
     initial_params = None
     if args.checkpoint is not None:

@@ -68,6 +68,13 @@ class TrainConfig:
     # train_model.py:353-355). None/1 = single device. Bucket batch sizes
     # round up to a multiple of n_dp so batches split evenly.
     n_dp: Optional[int] = None
+    # graph-partition parallelism: proteins LARGER than the bucket ladder
+    # route to the edge-partitioned executor over a 'gp' mesh axis of this
+    # many devices (parallel/partition.py) instead of raising — fit() trains
+    # them with halo-exchange message passing, dropout (global-canonical
+    # masks), and padded-pair weighting. Total devices = (n_dp or 1) * gp;
+    # standard buckets shard their batch over BOTH axes so no device idles.
+    gp: Optional[int] = None
 
 
 def _max_batch_width(loader) -> int:
@@ -383,6 +390,75 @@ class Trainer:
             sizes.append(n_real)
         return float(np.average(losses, weights=sizes)), lr
 
+    # ----------------------------------------------- partitioned sub-epochs
+    def _ensure_partitioned_steps(self):
+        """Lazily build the gp-partitioned train/eval steps (requires the
+        Trainer's mesh to carry a 'gp' axis)."""
+        if getattr(self, "_part_train_step", None) is None:
+            from caster_dta_tpu.parallel import partition as gpart
+            if self.mesh is None or "gp" not in self.mesh.axis_names:
+                raise ValueError("partitioned batches require a mesh with a "
+                                 "'gp' axis (TrainConfig.gp)")
+            gp_model = gpart.from_joint(self.model, "gp",
+                                        n_shards=self.mesh.shape["gp"])
+            self._part_train_step, self._part_eval_step = \
+                gpart.make_partitioned_fit_steps(
+                    gp_model, self.tx, self.mesh,
+                    extra_vars=self.extra_vars, dp_axis="dp")
+
+    def train_epoch_partitioned(self, loader, lr: float, scheduler=None,
+                                epoch: int = 0, total_train: int = 0,
+                                processed0: int = 0, unscale=None,
+                                meter=None):
+        """Train the ladder-overflow pairs (data/batching.py
+        PartitionedLoader) with the edge-partitioned executor. Mirrors
+        train_epoch's loss bookkeeping; processed0 continues the batch
+        scheduler's fractional-epoch position after the standard sub-epoch."""
+        self._ensure_partitioned_steps()
+        n_processed = processed0
+        losses, sizes = [], []
+        for batch in loader:
+            self.params, self.opt_state, _, pred, self.rng = \
+                self._part_train_step(self.params, self.opt_state, batch,
+                                      self.rng, np.float32(lr))
+            n_real = int(batch.weight.sum())
+            n_processed += n_real
+            if meter is not None:
+                meter.step(loader.last_batch_edges, n_real)
+            mask = batch.weight > 0
+            pred_np = np.asarray(pred)[mask]
+            target_np = batch.target[mask]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(n_real)
+            if scheduler is not None and total_train:
+                lr = scheduler.step(epoch + n_processed / total_train)
+        if not losses:
+            return None, lr, n_processed
+        return (float(np.average(losses, weights=sizes)), lr, n_processed)
+
+    def eval_epoch_partitioned(self, loader, unscale=None):
+        self._ensure_partitioned_steps()
+        losses, sizes = [], []
+        all_pred, all_target, all_idx = [], [], []
+        for batch in loader:
+            pred = np.asarray(self._part_eval_step(self.params, batch))
+            mask = batch.weight > 0
+            pred_np, target_np = pred[mask], batch.target[mask]
+            if unscale is not None:
+                pred_np, target_np = unscale(pred_np), unscale(target_np)
+            losses.append(metrics_mod.mse(pred_np, target_np))
+            sizes.append(int(mask.sum()))
+            all_pred.append(pred_np)
+            all_target.append(target_np)
+            all_idx.append(batch.pair_idx[mask])
+        if not losses:
+            return None, np.zeros(0), np.zeros(0), np.zeros(0, np.int32)
+        return (float(np.average(losses, weights=sizes)),
+                np.concatenate(all_pred), np.concatenate(all_target),
+                np.concatenate(all_idx))
+
     def eval_epoch(self, loader: BucketedLoader, unscale=None):
         if self._use_scan(loader):
             return self._eval_epoch_scan(loader, unscale)
@@ -447,42 +523,107 @@ def split_leakage_report(dataset, train_idx, val_idx, test_idx) -> dict:
 def fit(model, dataset, dataset_name: str, output_folder: str,
         config: TrainConfig, max_num: int, max_batch_size: int,
         n_epochs: Optional[int] = None, verbose: bool = True,
-        initial_params=None):
+        initial_params=None, ladder_kwargs: Optional[dict] = None):
     """Full training run with best-train/val/final checkpointing and early
     stopping; returns a result dict with test metrics
-    (reference train_model.py:534-802)."""
+    (reference train_model.py:534-802).
+
+    With config.gp set, proteins larger than the bucket ladder train through
+    the edge-partitioned executor (parallel/partition.py) as an extra
+    sub-epoch per epoch — the reference instead refuses such proteins
+    (3,000-residue cap, load_data.py:218-222). ladder_kwargs overrides the
+    bucket ladders (tests use tiny ladders to exercise the overflow path)."""
     os.makedirs(output_folder, exist_ok=True)
     n_epochs = n_epochs if n_epochs is not None else config.n_epochs
+    ladder_kwargs = ladder_kwargs or {}
 
     train_idx, val_idx, test_idx = split_dataset(dataset, config.seed)
 
+    gp = config.gp or 0
     mesh = None
     store_sharding = None
-    if config.n_dp is not None and config.n_dp > 1:
+    if gp > 1:
+        from caster_dta_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_2d_mesh(config.n_dp or 1, gp)
+        store_sharding = pmesh.replicated(mesh)
+    elif config.n_dp is not None and config.n_dp > 1:
         from caster_dta_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh(config.n_dp)
         store_sharding = pmesh.replicated(mesh)
+
+    # ladder-overflow pairs route to the partitioned executor when gp is on
+    ovf = {"train": [], "val": [], "test": []}
+    if gp > 1:
+        from caster_dta_tpu.data.batching import (PartitionedLoader,
+                                                  split_overflow_indices)
+        p_ladder = ladder_kwargs.get("protein_node_ladder")
+        split_kw = {"protein_node_ladder": p_ladder} if p_ladder else {}
+        train_idx, ovf["train"] = split_overflow_indices(dataset, train_idx,
+                                                         **split_kw)
+        val_idx, ovf["val"] = split_overflow_indices(dataset, val_idx,
+                                                     **split_kw)
+        test_idx, ovf["test"] = split_overflow_indices(dataset, test_idx,
+                                                       **split_kw)
+
+    # standard buckets shard their batch over EVERY mesh axis (dp x gp), so
+    # all devices stay busy on them; partitioned batches shard pairs over dp
+    # and the protein graph over gp
+    n_shard_all = (config.n_dp or 1) * (gp if gp > 1 else 1)
 
     def mk_loader(idxs, shuffle, seed):
         dl = BucketedLoader(dataset, idxs, max_num=max_num,
                             max_batch_size=max_batch_size,
                             shuffle=shuffle, seed=seed,
-                            batch_multiple=config.n_dp or 1)
+                            batch_multiple=n_shard_all, **ladder_kwargs)
         if config.device_data_budget is not None:
             from caster_dta_tpu.data.device_cache import DeviceResidentLoader
             dl = DeviceResidentLoader.maybe(dl, config.device_data_budget,
                                             store_sharding=store_sharding)
         return dl
 
+    def mk_part_loader(idxs, shuffle, seed):
+        if gp <= 1 or not idxs:
+            return None
+        part_kw = {k: v for k, v in ladder_kwargs.items()
+                   if k in ("protein_node_ladder", "edge_ladder",
+                            "molecule_node_ladder", "molecule_edge_ladder",
+                            "halo_ladder")}
+        return PartitionedLoader(dataset, idxs, gp=gp, max_num=max_num,
+                                 max_batch_size=max_batch_size,
+                                 shuffle=shuffle, seed=seed,
+                                 batch_multiple=config.n_dp or 1, **part_kw)
+
     train_dl = mk_loader(train_idx, True, config.seed)
     val_dl = mk_loader(val_idx, False, config.seed + 1)
     test_dl = mk_loader(test_idx, False, config.seed + 2)
+    ovf_train_dl = mk_part_loader(ovf["train"], True, config.seed)
+    ovf_val_dl = mk_part_loader(ovf["val"], False, config.seed + 1)
+    ovf_test_dl = mk_part_loader(ovf["test"], False, config.seed + 2)
 
-    example = next(iter(train_dl))
-    # the example draw above consumed one epoch-indexed shuffle; reset so
-    # training epoch k always uses shuffle order (seed, k) — resume depends
-    # on this mapping being stable
-    getattr(train_dl, "loader", train_dl).epoch = 0
+    if len(train_dl) > 0:
+        example = next(iter(train_dl))
+        # the example draw above consumed one epoch-indexed shuffle; reset so
+        # training epoch k always uses shuffle order (seed, k) — resume
+        # depends on this mapping being stable
+        getattr(train_dl, "loader", train_dl).epoch = 0
+    else:
+        # every training pair overflows the ladder (gp path): params depend
+        # only on feature dims, so init on a minimal synthetic example
+        from caster_dta_tpu.data.graphs import pad_graph, stack_graphs
+        i0 = int((ovf["train"] or [0])[0])
+        pg, mg, t0 = dataset[i0]
+        pad = lambda g, n, e: pad_graph(
+            node_s=g["node_s"], node_v=g["node_v"],
+            edge_index=g["edge_index"], edge_s=g["edge_s"],
+            edge_v=g["edge_v"], node_type=g["node_type"],
+            edge_type=g["edge_type"], n_pad=n, e_pad=e)
+        example = PairBatch(
+            protein=stack_graphs([pad(pg, int(pg["n_nodes"]),
+                                      int(pg["n_edges"]))]),
+            molecule=stack_graphs([pad(mg, int(mg["n_nodes"]),
+                                       int(mg["n_edges"]))]),
+            target=np.asarray([t0], np.float32),
+            weight=np.ones(1, np.float32), pair_idx=np.zeros(1, np.int32))
     trainer = Trainer(model, config, example, mesh=mesh)
     if initial_params is not None:
         if mesh is not None:
@@ -490,7 +631,10 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             initial_params = pmesh.replicate_params(initial_params, mesh)
         trainer.params = initial_params
 
-    leakage = split_leakage_report(dataset, train_idx, val_idx, test_idx)
+    leakage = split_leakage_report(dataset, train_idx + ovf["train"],
+                                   val_idx + ovf["val"],
+                                   test_idx + ovf["test"])
+    n_train_total = len(train_idx) + len(ovf["train"])
     with open(os.path.join(output_folder, "model_summary.txt"), "w") as f:
         f.write(checkpoints.param_summary(trainer.params))
     # plain module print, the reference's model_standardprint.txt artifact
@@ -545,6 +689,8 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             # replay the same epoch-indexed shuffle order a straight run
             # would use at this epoch
             getattr(train_dl, "loader", train_dl).epoch = start_epoch
+            if ovf_train_dl is not None:
+                ovf_train_dl.epoch = start_epoch
             # adopt the interrupted run's best files so retention supersedes
             # them in place rather than accumulating a second pile
             for kind in ("train", "val"):
@@ -556,12 +702,34 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             if verbose:
                 print(f"Resumed from epoch {st['epoch']} "
                       f"(best {best_train:.4f}/{best_val:.4f})", flush=True)
+    def _combine(parts):
+        """Weighted mean over (loss, n) contributions, skipping empties."""
+        parts = [(l, n) for l, n in parts if l is not None and n > 0]
+        if not parts:
+            return np.inf
+        return float(sum(l * n for l, n in parts) / sum(n for _, n in parts))
+
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
-        mean_train, lr = trainer.train_epoch(
-            train_dl, lr, scheduler=batch_sched, epoch=epoch,
-            total_train=len(train_idx), unscale=unscale, meter=meter)
-        mean_val, *_ = trainer.eval_epoch(val_dl, unscale=unscale)
+        mean_train, lr = ((np.inf, lr) if len(train_dl) == 0 else
+                          trainer.train_epoch(
+                              train_dl, lr, scheduler=batch_sched,
+                              epoch=epoch, total_train=n_train_total,
+                              unscale=unscale, meter=meter))
+        if ovf_train_dl is not None:
+            ovf_train, lr, _ = trainer.train_epoch_partitioned(
+                ovf_train_dl, lr, scheduler=batch_sched, epoch=epoch,
+                total_train=n_train_total, processed0=len(train_idx),
+                unscale=unscale, meter=meter)
+            mean_train = _combine([(mean_train, len(train_idx)),
+                                   (ovf_train, len(ovf["train"]))])
+        mean_val, *_ = (trainer.eval_epoch(val_dl, unscale=unscale)
+                        if len(val_dl) > 0 else (np.inf,))
+        if ovf_val_dl is not None:
+            ovf_vloss, *_ = trainer.eval_epoch_partitioned(ovf_val_dl,
+                                                           unscale=unscale)
+            mean_val = _combine([(mean_val, len(val_idx)),
+                                 (ovf_vloss, len(ovf["val"]))])
         n_since_best_val += 1
         marker = ""
         if mean_train < best_train:
@@ -603,9 +771,21 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     # test evaluation with the best-val params
     best = checkpoints.get_best_model(output_folder, "val")
     trainer.params = checkpoints.load_params(trainer.params, best)
-    _, pred, target, _ = trainer.eval_epoch(test_dl, unscale=dataset.unscale_target)
-    report = metrics_mod.regression_report(pred, target)
+    preds, targets = [], []
+    if len(test_dl) > 0:
+        _, pred, target, _ = trainer.eval_epoch(
+            test_dl, unscale=dataset.unscale_target)
+        preds.append(pred)
+        targets.append(target)
+    if ovf_test_dl is not None:
+        _, pred, target, _ = trainer.eval_epoch_partitioned(
+            ovf_test_dl, unscale=dataset.unscale_target)
+        preds.append(pred)
+        targets.append(target)
+    report = metrics_mod.regression_report(np.concatenate(preds),
+                                           np.concatenate(targets))
     return {"history": history, "test_metrics": report,
             "best_val": best_val, "best_train": best_train,
             "throughput": meter.summary(), "leakage": leakage,
+            "overflow_pairs": {k: len(v) for k, v in ovf.items()},
             "params": trainer.params, "trainer": trainer}

@@ -84,3 +84,72 @@ def test_dp_batches_divide_evenly(dataset):
                             shuffle=False, batch_multiple=8)
     for b in loader.buckets():
         assert loader.bucket_batch_size(b) % 8 == 0
+
+
+# ------------------------------------------------- eval-path equivalence
+# (VERDICT round-2 item 7: pin that every eval path computes the same
+# losses/predictions — scan vs per-batch, dp vs single-device — mirroring
+# the reference's val-loop semantics, train_model.py:622-657)
+
+def _trainer(dataset, loader, n_dp=None):
+    from caster_dta_tpu.parallel import mesh as pmesh
+    from caster_dta_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(seed=5, scheduler=None, save_state_every=0, n_dp=n_dp)
+    mesh = pmesh.make_mesh(n_dp) if n_dp else None
+    example = next(iter(loader))
+    getattr(loader, "loader", loader).epoch = 0
+    return Trainer(_model(dataset), cfg, example, mesh=mesh)
+
+
+def _by_pair(pred, idx):
+    order = np.argsort(idx)
+    return np.asarray(idx)[order], np.asarray(pred)[order]
+
+
+def test_eval_scan_matches_per_batch(dataset):
+    """eval_epoch through the device-resident lax.scan path must produce
+    the same loss and per-pair predictions as host-assembled per-batch
+    eval on a MULTI-bucket loader (partial batches padded)."""
+    from caster_dta_tpu.data.device_cache import DeviceResidentLoader
+
+    mk = lambda: BucketedLoader(dataset, None, max_num=100_000,
+                                max_batch_size=4, shuffle=False,
+                                coalesce=False)
+    host_dl = mk()
+    assert len(host_dl.buckets()) >= 2, "need a multi-bucket loader"
+    scan_dl = DeviceResidentLoader(mk())
+    tr = _trainer(dataset, mk())
+    loss_h, pred_h, tgt_h, idx_h = tr.eval_epoch(host_dl)
+    loss_s, pred_s, tgt_s, idx_s = tr.eval_epoch(scan_dl)
+    np.testing.assert_allclose(loss_s, loss_h, rtol=1e-6)
+    ih, ph = _by_pair(pred_h, idx_h)
+    is_, ps = _by_pair(pred_s, idx_s)
+    np.testing.assert_array_equal(is_, ih)
+    np.testing.assert_allclose(ps, ph, rtol=1e-6)
+
+
+def test_dp_eval_matches_single_device(dataset):
+    """dp-sharded eval must equal single-device eval: same loss (weighted by
+    real pair counts despite different batch padding) and same per-pair
+    predictions."""
+    dl1 = BucketedLoader(dataset, None, max_num=100_000, max_batch_size=8,
+                         shuffle=False, batch_multiple=1)
+    dl8 = BucketedLoader(dataset, None, max_num=100_000, max_batch_size=8,
+                         shuffle=False, batch_multiple=8)
+    tr1 = _trainer(dataset, BucketedLoader(dataset, None, max_num=100_000,
+                                           max_batch_size=8, shuffle=False))
+    tr8 = _trainer(dataset, BucketedLoader(dataset, None, max_num=100_000,
+                                           max_batch_size=8, shuffle=False,
+                                           batch_multiple=8), n_dp=8)
+    # identical init seeds -> identical params
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.params),
+                    jax.tree_util.tree_leaves(tr8.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    loss1, pred1, _, idx1 = tr1.eval_epoch(dl1)
+    loss8, pred8, _, idx8 = tr8.eval_epoch(dl8)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    i1, p1 = _by_pair(pred1, idx1)
+    i8, p8 = _by_pair(pred8, idx8)
+    np.testing.assert_array_equal(i8, i1)
+    np.testing.assert_allclose(p8, p1, rtol=1e-5, atol=1e-6)

@@ -91,7 +91,7 @@ def test_param_tree_identical(setup):
     init = jax.jit(jax.shard_map(
         lambda rng, sh: part_model.init(rng, sh), mesh=mesh,
         in_specs=(P(), shard_specs("gp")), out_specs=P(), check_vma=False))
-    part_vars = init(jax.random.PRNGKey(1), sharded)
+    part_vars = init(jax.random.PRNGKey(1), stack_sharded([sharded]))
     ref_paths = {jax.tree_util.keystr(p): l.shape
                  for p, l in jax.tree_util.tree_flatten_with_path(variables)[0]}
     part_paths = {jax.tree_util.keystr(p): l.shape
@@ -222,8 +222,8 @@ def test_partitioned_joint_forward_and_grad_parity(setup):
         return (s[0, 0] - target[0]) ** 2
 
     g_ref = jax.jit(jax.grad(loss_ref))(params)
-    new_params, _, loss = step(params, opt_state, sharded, mol,
-                               jnp.asarray(target))
+    new_params, _, loss = step(params, opt_state, stack_sharded([sharded]),
+                               mol, jnp.asarray(target))
     np.testing.assert_allclose(float(loss),
                                float(loss_ref(params)), rtol=1e-5)
     # recover grads from the Adam update relation is messy; instead compare
@@ -252,7 +252,7 @@ def _part_loss(model, params, sharded, mol, target, mesh):
     return jax.shard_map(fwd, mesh=mesh,
                          in_specs=(P(), sh_spec, mol_spec, P()),
                          out_specs=P(), check_vma=False)(
-        params, sharded, mol, jnp.asarray(target))
+        params, stack_sharded([sharded]), mol, jnp.asarray(target))
 
 
 @pytest.mark.slow
