@@ -92,6 +92,11 @@ def _ladder(value: int, ladder: Sequence[int]) -> int:
 # counts 4-6x for no measurable step-time gain.
 PROTEIN_NODE_LADDER = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
                        3072, 4608)
+# NOTE: the 4,608 rung exceeds ops/segment.py's n<=4096 dense-scan
+# gather-backward cutoff, so KIBA's tallest bucket takes the XLA
+# scatter-add fallback — correct, ~3x slower per gather-backward, but that
+# bucket holds exactly one KIBA kinase (4,128 res) so it is cold. Extend the
+# dense-scan split past 4,096 only if op_breakdown shows it hot.
 MOLECULE_NODE_LADDER = (48, 128, 256, 384)  # KIBA's largest ligand: 268 atoms
 EDGE_LADDER = tuple(2 ** k for k in range(4, 21))
 MOLECULE_EDGE_LADDER = (256, 1024, 4096)
