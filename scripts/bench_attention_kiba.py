@@ -1,0 +1,89 @@
+"""Measure the blockwise Pallas attention (ops/pallas_attention.py) vs the
+XLA materialized-logits path at the KIBA-top cross-attention tier — the case
+the kernel was written for (SURVEY §2.4 CP row: R x A = 4608 x 384 ≈ 1.8M
+logits/pair/head; VERDICT round-2 missing item 4).
+
+Runs BOTH attention directions of the joint model's cross-attention
+(residues->atoms: Lq=4608/Lk=384; atoms->residues: Lq=384/Lk=4608),
+forward+backward (value_and_grad over q/k/v), bf16 operands like the
+training step. Prints one JSON line per configuration.
+
+TPU-exclusive: run alone under timeout.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, args, n=30, windows=3):
+    out = jax.block_until_ready(fn(*args))       # compile
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3   # ms
+
+
+def xla_mha(q, k, v, pad):
+    hd = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+    logits = jnp.where(pad[:, None, None, :], -1e9, logits)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def main():
+    from caster_dta_tpu.ops.pallas_attention import flash_mha
+
+    B, H, HD = 4, 8, 16          # KIBA bucket batch 4; 8 heads x 16 = 128 dim
+    R, A = 4608, 384
+    results = []
+    for tag, lq, lk in (("res->atoms", R, A), ("atoms->res", A, R)):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, H, lq, HD)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H, lk, HD)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H, lk, HD)), jnp.bfloat16)
+        pad = jnp.zeros((B, lk), bool).at[:, lk - lk // 8:].set(True)
+
+        def loss_xla(q, k, v):
+            return (xla_mha(q, k, v, pad).astype(jnp.float32) ** 2).sum()
+
+        def loss_flash(q, k, v):
+            return (flash_mha(q, k, v, pad).astype(jnp.float32) ** 2).sum()
+
+        g_xla = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1, 2)))
+        g_fla = jax.jit(jax.value_and_grad(loss_flash, argnums=(0, 1, 2)))
+
+        # numerics cross-check first
+        (lx, gx), (lf, gf) = g_xla(q, k, v), g_fla(q, k, v)
+        rel = abs(float(lx) - float(lf)) / abs(float(lx))
+        gerr = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                         - b.astype(jnp.float32))))
+                   for a, b in zip(gx, gf))
+
+        fwd_xla = bench(jax.jit(loss_xla), (q, k, v))
+        fwd_fla = bench(jax.jit(loss_flash), (q, k, v))
+        fb_xla = bench(g_xla, (q, k, v))
+        fb_fla = bench(g_fla, (q, k, v))
+        row = {"dir": tag, "shape": [B, H, lq, lk, HD],
+               "fwd_ms": {"xla": round(fwd_xla, 3), "flash": round(fwd_fla, 3)},
+               "fwd_bwd_ms": {"xla": round(fb_xla, 3),
+                              "flash": round(fb_fla, 3)},
+               "loss_rel_err": round(rel, 6), "grad_max_abs_err": round(gerr, 4),
+               "speedup_fwd_bwd": round(fb_xla / fb_fla, 3)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    logits_mb = B * H * R * A * 2 / 1e6
+    print(json.dumps({"logit_tensor_mb_per_direction": round(logits_mb, 1),
+                      "device": str(jax.devices()[0])}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
