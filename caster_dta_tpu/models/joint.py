@@ -41,18 +41,21 @@ class CrossAttentionModule(nn.Module):
     feedforward_dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, embed_1, embed_2, mask1, mask2, deterministic: bool = True):
+    def __call__(self, embed_1, embed_2, mask1, mask2,
+                 deterministic: bool = True, need_weights: bool = True):
         x1n = nn.LayerNorm(epsilon=1e-5, name="preattn_norm1")(embed_1)
         x2n = nn.LayerNorm(epsilon=1e-5, name="preattn_norm2")(embed_2)
 
         x1_attn, w1 = MultiheadAttention(self.embed_dim_1, self.n_attention_heads,
                                          dropout=self.attn_dropout,
                                          name="embed1_to_2")(
-            x1n, x2n, x2n, key_padding_mask=~mask2, deterministic=deterministic)
+            x1n, x2n, x2n, key_padding_mask=~mask2, deterministic=deterministic,
+            need_weights=need_weights)
         x2_attn, w2 = MultiheadAttention(self.embed_dim_2, self.n_attention_heads,
                                          dropout=self.attn_dropout,
                                          name="embed2_to_1")(
-            x2n, x1n, x1n, key_padding_mask=~mask1, deterministic=deterministic)
+            x2n, x1n, x1n, key_padding_mask=~mask1, deterministic=deterministic,
+            need_weights=need_weights)
 
         def ff_dropout(x):
             if self.feedforward_dropout == 0.0 or deterministic:
@@ -138,7 +141,7 @@ class JointGNN(nn.Module):
 
     @nn.compact
     def __call__(self, protein_graph: GraphBatch, molecule_graph: GraphBatch,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_attention: bool = True):
         protein_gnn = make_protein_gnn(name="protein_gnn", **self.protein_gnn_kwargs)
         molecule_gnn = make_molecule_gnn(name="molecule_gnn", **self.molecule_gnn_kwargs)
 
@@ -146,10 +149,11 @@ class JointGNN(nn.Module):
         atom_embed = molecule_gnn(molecule_graph, deterministic=deterministic)
 
         return self._head(residue_embed, atom_embed, protein_graph.node_mask,
-                          molecule_graph.node_mask, deterministic)
+                          molecule_graph.node_mask, deterministic,
+                          return_attention)
 
     def _head(self, residue_embed, atom_embed, residue_mask, atom_mask,
-              deterministic: bool):
+              deterministic: bool, return_attention: bool = True):
         """Everything after the towers (lin stacks, cross-attention, pooling,
         output MLP). A helper inside the compact context — param names stay
         at the module root — so the edge-partitioned JointGNN
@@ -174,9 +178,11 @@ class JointGNN(nn.Module):
                     feedforward_dropout=self.dropout,
                     name=f"cross_attn_{i}",
                 )(residue_embed, atom_embed, residue_mask, atom_mask,
-                  deterministic=deterministic)
+                  deterministic=deterministic, need_weights=return_attention)
                 attn_weights.append(w)
         else:
+            attn_weights = None
+        if not return_attention:
             attn_weights = None
 
         protein_embed = masked_pool(residue_embed, residue_mask, self.element_pooling)

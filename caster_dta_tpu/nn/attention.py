@@ -23,6 +23,20 @@ from caster_dta_tpu.nn.common import Dense
 
 _NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
 
+# Differentiable flash path (ops/pallas_attention.flash_mha) when the caller
+# does not consume attention weights (need_weights=False, e.g. the training
+# loss): neither pass materializes the [B, H, Lq, Lk] logits in HBM.
+# Tri-state: None = auto (currently off pending the on-TPU measurement at
+# the production tiers — scripts/bench_attention_kiba.py records the
+# numbers either way); True = force; False = never.
+USE_FLASH_NO_WEIGHTS = None
+
+
+def _flash_dispatch() -> bool:
+    if USE_FLASH_NO_WEIGHTS is not None:
+        return USE_FLASH_NO_WEIGHTS
+    return False
+
 
 class MultiheadAttention(nn.Module):
     """batch_first torch MHA: query [B,Lq,E], key/value [B,Lk,Dk].
@@ -43,7 +57,7 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, need_weights: bool = True):
         e, h = self.embed_dim, self.num_heads
         assert e % h == 0, "embed_dim must divide num_heads"
         hd = e // h
@@ -62,6 +76,15 @@ class MultiheadAttention(nn.Module):
             from caster_dta_tpu.ops.pallas_attention import masked_mha
 
             out = masked_mha(q, k, v, key_padding_mask)
+            out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
+            out = Dense(e, dtype=self.dtype, name="out_proj")(out)
+            return out, None
+
+        if (not need_weights and (self.dropout == 0.0 or deterministic)
+                and not self.is_initializing() and _flash_dispatch()):
+            from caster_dta_tpu.ops.pallas_attention import flash_mha
+
+            out = flash_mha(q, k, v, key_padding_mask).astype(q.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
             out = Dense(e, dtype=self.dtype, name="out_proj")(out)
             return out, None

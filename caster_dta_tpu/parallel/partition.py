@@ -445,7 +445,7 @@ class PartitionedJointGNN(JointGNN):
 
     @nn.compact
     def __call__(self, sharded_protein: ShardedProteinGraph, molecule_graph,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_attention: bool = True):
         pk = {k: v for k, v in self.protein_gnn_kwargs.items()
               if k != "base_conv"}
         if self.protein_gnn_kwargs.get("base_conv", "lbamodel") != "lbamodel":
@@ -466,7 +466,8 @@ class PartitionedJointGNN(JointGNN):
                                          **self.molecule_gnn_kwargs)
         atom_embed = molecule_gnn(molecule_graph, deterministic=deterministic)
         return self._head(residue_embed, atom_embed, residue_mask,
-                          molecule_graph.node_mask, deterministic)
+                          molecule_graph.node_mask, deterministic,
+                          return_attention)
 
 
 def from_joint(model: JointGNN, axis_name: str = "gp",

@@ -764,6 +764,14 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
                 n_since_best_val=n_since_best_val, lr=lr, history=history,
                 scheduler=scheduler)
 
+    # final resume point: a bounded run (--n-epochs N) resumes losslessly
+    # even when N is not a multiple of save_state_every
+    if config.save_state_every:
+        checkpoints.save_train_state(
+            output_folder, params=trainer.params, opt_state=trainer.opt_state,
+            rng=trainer.rng, epoch=epoch, best_train=best_train,
+            best_val=best_val, n_since_best_val=n_since_best_val, lr=lr,
+            history=history, scheduler=scheduler)
     checkpoints.save_params(trainer.params, os.path.join(
         output_folder, checkpoints.best_checkpoint_name(
             "final", dataset_name, mean_val, epoch)))

@@ -41,10 +41,14 @@ def xla_mha(q, k, v, pad):
 def main():
     from caster_dta_tpu.ops.pallas_attention import flash_mha
 
-    B, H, HD = 4, 8, 16          # KIBA bucket batch 4; 8 heads x 16 = 128 dim
-    R, A = 4608, 384
+    H, HD = 8, 16                # 8 heads x 16 = 128 embed dim
+    R, A = 4608, 384             # KIBA-top tier, bucket batch 4
+    RF, AF = 512, 64             # flagship BindingDB tier, bucket batch 32
     results = []
-    for tag, lq, lk in (("res->atoms", R, A), ("atoms->res", A, R)):
+    for tag, B, lq, lk in (("kiba res->atoms", 4, R, A),
+                           ("kiba atoms->res", 4, A, R),
+                           ("flagship res->atoms", 32, RF, AF),
+                           ("flagship atoms->res", 32, AF, RF)):
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.normal(size=(B, H, lq, HD)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(B, H, lk, HD)), jnp.bfloat16)
@@ -80,8 +84,8 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    logits_mb = B * H * R * A * 2 / 1e6
-    print(json.dumps({"logit_tensor_mb_per_direction": round(logits_mb, 1),
+    logits_mb = 4 * H * R * A * 2 / 1e6
+    print(json.dumps({"kiba_logit_tensor_mb_per_direction": round(logits_mb, 1),
                       "device": str(jax.devices()[0])}), flush=True)
 
 

@@ -37,3 +37,17 @@ def test_driver_deeper_convs(tmp_path):
     pg, mg = template_batch(kwargs)
     score, _ = model.apply(variables, pg, mg, deterministic=True)
     assert score.shape[0] == 1
+
+    # --resume WITHOUT re-passing the conv flags must rebuild the saved
+    # (3,3) config from the run's own model_kwargs.json, not the CLI
+    # defaults, and must not clobber the artifacts (ADVICE round-2 item 1)
+    before = open(out / "model_kwargs.json").read()
+    result2 = driver.main([
+        "--dataset", "synthetic", "--seed", "3",
+        "--out-folder", str(out), "--data-root", str(data_root),
+        "--n-epochs", "4", "--n-workers", "0", "--resume",
+    ])
+    assert open(out / "model_kwargs.json").read() == before
+    # real continuation (state written at run end): epochs 2..3 only
+    assert [h["epoch"] for h in result2["history"][-2:]] == [2, 3]
+    assert result2["history"][0]["epoch"] == 0   # history carried over
