@@ -709,6 +709,12 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             return np.inf
         return float(sum(l * n for l, n in parts) / sum(n for _, n in parts))
 
+    # a resume with n_epochs <= reached epoch runs zero iterations and goes
+    # straight to final-checkpoint + test eval (the "finish a timed-out
+    # bounded run" workflow) — keep epoch/mean_val well-defined for it
+    epoch = start_epoch - 1
+    if history:
+        mean_val = history[-1]["val"]
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         mean_train, lr = ((np.inf, lr) if len(train_dl) == 0 else

@@ -342,6 +342,17 @@ def test_resume_bit_identical(dataset, tmp_path):
                     jax.tree_util.tree_leaves(resumed["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # "finish" workflow: resuming with n_epochs == reached epoch runs ZERO
+    # training epochs and goes straight to final checkpoint + test eval
+    # (how a timed-out bounded run gets its test metrics recorded)
+    finished = fit(_mk_small_model(dataset), dataset, "synthetic", out,
+                   TrainConfig(n_epochs=4, save_state_every=1, resume=True,
+                               **common), **kw)
+    assert [e["epoch"] for e in finished["history"]] == [0, 1, 2, 3]
+    assert np.isfinite(finished["test_metrics"]["mse"])
+    np.testing.assert_allclose(finished["test_metrics"]["mse"],
+                               resumed["test_metrics"]["mse"], rtol=1e-6)
+
 
 def test_pad_cache_lru_bounded(dataset):
     """The host pad-cache must stay under its byte budget by evicting LRU
