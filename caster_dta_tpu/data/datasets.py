@@ -91,7 +91,16 @@ def load_bindingdb(data_root: str, task: str = "kd", structures_dir=None,
     if os.path.exists(cache):
         bdb = pd.read_pickle(cache)
     else:
-        bdb = pd.read_csv(os.path.join(path, "BindingDB_All.tsv"), sep="\t",
+        tsv = os.path.join(path, "BindingDB_All.tsv")
+        if not os.path.exists(tsv):
+            raise FileNotFoundError(
+                f"{tsv} not present — the raw BindingDB dump (~1 GB) is not "
+                "vendored and this sandbox has no network egress, so the "
+                "bindingdb datasets cannot be built here. Download "
+                "BindingDB_All.tsv from bindingdb.org into that directory "
+                "(or point --data-root at a tree that has it), or use one of "
+                "davis/kiba/metz instead.")
+        bdb = pd.read_csv(tsv, sep="\t",
                           on_bad_lines="skip", low_memory=False)
         keep = ["BindingDB Ligand Name", "Ligand SMILES", "Target Name",
                 "BindingDB Target Chain Sequence", col]

@@ -416,43 +416,53 @@ class Trainer:
         scheduler's fractional-epoch position after the standard sub-epoch."""
         self._ensure_partitioned_steps()
         n_processed = processed0
-        losses, sizes = [], []
+        # predictions stay on device; one transfer at epoch end
+        # (ADVICE r03: per-batch np.asarray(pred) is ~2s/fetch on the
+        # tunnel backend — the _PredAccumulator pattern applies here too)
+        acc = _PredAccumulator(len(loader), _max_batch_width(loader))
+        deferred = []
         for batch in loader:
             self.params, self.opt_state, _, pred, self.rng = \
                 self._part_train_step(self.params, self.opt_state, batch,
                                       self.rng, np.float32(lr))
+            acc.append(pred)
             n_real = int(batch.weight.sum())
             n_processed += n_real
             if meter is not None:
                 meter.step(loader.last_batch_edges, n_real)
-            mask = batch.weight > 0
-            pred_np = np.asarray(pred)[mask]
-            target_np = batch.target[mask]
+            deferred.append((batch.weight > 0, batch.target, n_real))
+            if scheduler is not None and total_train:
+                lr = scheduler.step(epoch + n_processed / total_train)
+        losses, sizes = [], []
+        for pred_host, (mask, target, n_real) in zip(acc.to_host(), deferred):
+            pred_np = pred_host[: len(mask)][mask]
+            target_np = target[mask]
             if unscale is not None:
                 pred_np, target_np = unscale(pred_np), unscale(target_np)
             losses.append(metrics_mod.mse(pred_np, target_np))
             sizes.append(n_real)
-            if scheduler is not None and total_train:
-                lr = scheduler.step(epoch + n_processed / total_train)
         if not losses:
             return None, lr, n_processed
         return (float(np.average(losses, weights=sizes)), lr, n_processed)
 
     def eval_epoch_partitioned(self, loader, unscale=None):
         self._ensure_partitioned_steps()
+        acc = _PredAccumulator(len(loader), _max_batch_width(loader))
+        deferred = []
+        for batch in loader:
+            acc.append(self._part_eval_step(self.params, batch))
+            deferred.append((batch.weight > 0, batch.target, batch.pair_idx))
         losses, sizes = [], []
         all_pred, all_target, all_idx = [], [], []
-        for batch in loader:
-            pred = np.asarray(self._part_eval_step(self.params, batch))
-            mask = batch.weight > 0
-            pred_np, target_np = pred[mask], batch.target[mask]
+        for pred_host, (mask, target, pair_idx) in zip(acc.to_host(), deferred):
+            pred_np, target_np = pred_host[: len(mask)][mask], target[mask]
             if unscale is not None:
                 pred_np, target_np = unscale(pred_np), unscale(target_np)
             losses.append(metrics_mod.mse(pred_np, target_np))
             sizes.append(int(mask.sum()))
             all_pred.append(pred_np)
             all_target.append(target_np)
-            all_idx.append(batch.pair_idx[mask])
+            all_idx.append(pair_idx[mask])
         if not losses:
             return None, np.zeros(0), np.zeros(0), np.zeros(0, np.int32)
         return (float(np.average(losses, weights=sizes)),
@@ -571,10 +581,17 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     n_shard_all = (config.n_dp or 1) * (gp if gp > 1 else 1)
 
     def mk_loader(idxs, shuffle, seed):
+        # partitioned-only ladder keys (e.g. halo_ladder) are not
+        # BucketedLoader parameters — filter like mk_part_loader does
+        std_kw = {k: v for k, v in ladder_kwargs.items()
+                  if k in ("protein_node_ladder", "edge_ladder",
+                           "molecule_node_ladder", "molecule_edge_ladder",
+                           "include_nodepair", "coalesce",
+                           "coalesce_min_batches", "pad_cache_bytes")}
         dl = BucketedLoader(dataset, idxs, max_num=max_num,
                             max_batch_size=max_batch_size,
                             shuffle=shuffle, seed=seed,
-                            batch_multiple=n_shard_all, **ladder_kwargs)
+                            batch_multiple=n_shard_all, **std_kw)
         if config.device_data_budget is not None:
             from caster_dta_tpu.data.device_cache import DeviceResidentLoader
             dl = DeviceResidentLoader.maybe(dl, config.device_data_budget,
@@ -796,8 +813,11 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             ovf_test_dl, unscale=dataset.unscale_target)
         preds.append(pred)
         targets.append(target)
-    report = metrics_mod.regression_report(np.concatenate(preds),
-                                           np.concatenate(targets))
+    if preds:
+        report = metrics_mod.regression_report(np.concatenate(preds),
+                                               np.concatenate(targets))
+    else:   # empty test split: report nothing rather than crash on concat
+        report = {"note": "test split empty — no test metrics computed"}
     return {"history": history, "test_metrics": report,
             "best_val": best_val, "best_train": best_train,
             "throughput": meter.summary(), "leakage": leakage,
