@@ -204,6 +204,7 @@ def main(argv=None):
     print(dataset, flush=True)
 
     saved_kwargs_path = os.path.join(args.out_folder, "model_kwargs.json")
+    initial_params = None
     if args.resume and os.path.exists(saved_kwargs_path):
         # resume rebuilds the model from the run's own saved kwargs, not the
         # CLI flags: resuming a --protein-convs 3 run without re-passing the
@@ -212,6 +213,24 @@ def main(argv=None):
             saved = json.load(f)
         pk, mk, jk = (saved["protein_gnn_kwargs"],
                       saved["molecule_gnn_kwargs"], saved["joint_gnn_kwargs"])
+    elif args.checkpoint is not None and not args.skip_training:
+        # the reference's --checkpoint workflow (train_model.py:23-32,
+        # 520-525 + inference_utils.py:40-70): rebuild the model from the
+        # CHECKPOINT's kwargs and fine-tune from its params. Works for both
+        # this framework's run folders and reference .pt folders (the
+        # transplant path in interop/torch_import.py). num_ntypes etc. come
+        # from the checkpoint, so its one-hot widths are preserved even when
+        # the new dataset's vocabulary differs.
+        from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
+        ckpt_dir = (args.checkpoint if os.path.isdir(args.checkpoint)
+                    else os.path.dirname(args.checkpoint))
+        _, variables, ck = load_model_from_checkpoint(ckpt_dir, args.use_best)
+        initial_params = variables["params"]
+        pk, mk, jk = (ck["protein_gnn_kwargs"], ck["molecule_gnn_kwargs"],
+                      ck["joint_gnn_kwargs"])
+        checkpoints.save_run_artifacts(
+            args.out_folder, dataset_kwargs, dataset._report_scale_data(),
+            pk, mk, jk)
     else:
         pk, mk, jk = default_model_kwargs(dataset.metadata_dict)
         pk["num_convs"] = args.protein_convs
@@ -226,14 +245,6 @@ def main(argv=None):
     cfg = TrainConfig(n_epochs=args.n_epochs, seed=args.seed,
                       resume=args.resume, compute_dtype="bfloat16",
                       n_dp=args.n_dp, gp=args.gp)
-
-    initial_params = None
-    if args.checkpoint is not None:
-        from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
-        _, variables, _ = load_model_from_checkpoint(
-            os.path.dirname(checkpoints.get_best_model(args.checkpoint, args.use_best))
-            if os.path.isdir(args.checkpoint) else os.path.dirname(args.checkpoint))
-        initial_params = variables["params"]
 
     if args.skip_training:
         from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint

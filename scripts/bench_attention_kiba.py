@@ -39,16 +39,26 @@ def xla_mha(q, k, v, pad):
 
 
 def main():
+    import os
+
+    import jax as _jax
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "caster_dta_jax")
+    os.makedirs(cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from caster_dta_tpu.ops.pallas_attention import flash_mha
 
     H, HD = 8, 16                # 8 heads x 16 = 128 embed dim
     R, A = 4608, 384             # KIBA-top tier, bucket batch 4
     RF, AF = 512, 64             # flagship BindingDB tier, bucket batch 32
     results = []
-    for tag, B, lq, lk in (("kiba res->atoms", 4, R, A),
-                           ("kiba atoms->res", 4, A, R),
-                           ("flagship res->atoms", 32, RF, AF),
-                           ("flagship atoms->res", 32, AF, RF)):
+    # cheap flagship tiers first so a bounded run still records data
+    for tag, B, lq, lk in (("flagship res->atoms", 32, RF, AF),
+                           ("flagship atoms->res", 32, AF, RF),
+                           ("kiba res->atoms", 4, R, A),
+                           ("kiba atoms->res", 4, A, R)):
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.normal(size=(B, H, lq, HD)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(B, H, lk, HD)), jnp.bfloat16)
