@@ -172,7 +172,8 @@ class Trainer:
         def loss_fn(params, batch, rng):
             variables = {"params": params, **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
-                                  deterministic=False, rngs={"dropout": rng})
+                                  deterministic=False, rngs={"dropout": rng},
+                                  return_attention=False)
             pred = pred[:, 0].astype(jnp.float32)
             w = batch.weight
             loss = jnp.sum(w * (pred - batch.target) ** 2) / jnp.maximum(w.sum(), 1.0)
@@ -221,7 +222,8 @@ class Trainer:
                     variables = {"params": params, **self.extra_vars}
                     pred, _ = model.apply(variables, protein, molecule,
                                           deterministic=False,
-                                          rngs={"dropout": step_rng})
+                                          rngs={"dropout": step_rng},
+                                          return_attention=False)
                     pred = pred[:, 0].astype(jnp.float32)
                     loss = (jnp.sum(weight * (pred - target) ** 2)
                             / jnp.maximum(weight.sum(), 1.0))
@@ -254,7 +256,8 @@ class Trainer:
                 molecule = jax.tree_util.tree_map(lambda a: a[m_rows], m_store)
                 variables = {"params": params, **self.extra_vars}
                 pred, _ = model.apply(variables, protein, molecule,
-                                      deterministic=True)
+                                      deterministic=True,
+                                      return_attention=False)
                 return None, pred[:, 0].astype(jnp.float32)
 
             _, preds = jax.lax.scan(body, None, (mega.p_rows, mega.m_rows))
@@ -269,7 +272,8 @@ class Trainer:
         def step(params, batch):
             variables = {"params": params, **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
-                                  deterministic=True)
+                                  deterministic=True,
+                                  return_attention=False)
             return pred[:, 0].astype(jnp.float32)
 
         return step

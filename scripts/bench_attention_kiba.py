@@ -1,14 +1,17 @@
 """Measure the blockwise Pallas attention (ops/pallas_attention.py) vs the
-XLA materialized-logits path at the KIBA-top cross-attention tier — the case
-the kernel was written for (SURVEY §2.4 CP row: R x A = 4608 x 384 ≈ 1.8M
-logits/pair/head; VERDICT round-2 missing item 4).
+XLA materialized-logits path at the production cross-attention tiers — the
+case the kernel was written for (SURVEY §2.4 CP row: R x A = 4608 x 384 ≈
+1.8M logits/pair/head; VERDICT round-2 missing item 4, round-3 missing #3).
 
 Runs BOTH attention directions of the joint model's cross-attention
 (residues->atoms: Lq=4608/Lk=384; atoms->residues: Lq=384/Lk=4608),
 forward+backward (value_and_grad over q/k/v), bf16 operands like the
-training step. Prints one JSON line per configuration.
+training step. Cheap flagship tiers first and every stage AOT-compiled with
+its compile time printed, so a bounded (timeout) run still records partial
+evidence — round 3's attempt died silently inside a >15-min Mosaic compile.
 
-TPU-exclusive: run alone under timeout.
+Prints one JSON line per configuration. TPU-exclusive: run alone under
+timeout.
 """
 import json
 import time
@@ -18,16 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, args, n=30, windows=3):
-    out = jax.block_until_ready(fn(*args))       # compile
+def bench_compiled(fn_c, args, n=30, windows=3):
+    out = jax.block_until_ready(fn_c(*args))
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(*args)
+            out = fn_c(*args)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3   # ms
+
+
+def compile_timed(fn, args, tag):
+    t0 = time.perf_counter()
+    c = jax.jit(fn).lower(*args).compile()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"compile": tag, "seconds": round(dt, 1)}), flush=True)
+    return c, dt
 
 
 def xla_mha(q, k, v, pad):
@@ -41,12 +52,10 @@ def xla_mha(q, k, v, pad):
 def main():
     import os
 
-    import jax as _jax
-
     cache = os.path.join(os.path.expanduser("~"), ".cache", "caster_dta_jax")
     os.makedirs(cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from caster_dta_tpu.ops.pallas_attention import flash_mha
 
@@ -71,24 +80,32 @@ def main():
         def loss_flash(q, k, v):
             return (flash_mha(q, k, v, pad).astype(jnp.float32) ** 2).sum()
 
-        g_xla = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1, 2)))
-        g_fla = jax.jit(jax.value_and_grad(loss_flash, argnums=(0, 1, 2)))
+        fwd_xla_c, _ = compile_timed(loss_xla, (q, k, v), f"{tag} xla fwd")
+        fwd_fla_c, cf = compile_timed(loss_flash, (q, k, v),
+                                      f"{tag} flash fwd")
+        g_xla_c, _ = compile_timed(
+            jax.value_and_grad(loss_xla, argnums=(0, 1, 2)), (q, k, v),
+            f"{tag} xla fwd+bwd")
+        g_fla_c, cfb = compile_timed(
+            jax.value_and_grad(loss_flash, argnums=(0, 1, 2)), (q, k, v),
+            f"{tag} flash fwd+bwd")
 
-        # numerics cross-check first
-        (lx, gx), (lf, gf) = g_xla(q, k, v), g_fla(q, k, v)
+        # numerics cross-check
+        (lx, gx), (lf, gf) = g_xla_c(q, k, v), g_fla_c(q, k, v)
         rel = abs(float(lx) - float(lf)) / abs(float(lx))
         gerr = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                          - b.astype(jnp.float32))))
                    for a, b in zip(gx, gf))
 
-        fwd_xla = bench(jax.jit(loss_xla), (q, k, v))
-        fwd_fla = bench(jax.jit(loss_flash), (q, k, v))
-        fb_xla = bench(g_xla, (q, k, v))
-        fb_fla = bench(g_fla, (q, k, v))
+        fwd_xla = bench_compiled(fwd_xla_c, (q, k, v))
+        fwd_fla = bench_compiled(fwd_fla_c, (q, k, v))
+        fb_xla = bench_compiled(g_xla_c, (q, k, v))
+        fb_fla = bench_compiled(g_fla_c, (q, k, v))
         row = {"dir": tag, "shape": [B, H, lq, lk, HD],
                "fwd_ms": {"xla": round(fwd_xla, 3), "flash": round(fwd_fla, 3)},
                "fwd_bwd_ms": {"xla": round(fb_xla, 3),
                               "flash": round(fb_fla, 3)},
+               "flash_compile_s": {"fwd": round(cf, 1), "fwd_bwd": round(cfb, 1)},
                "loss_rel_err": round(rel, 6), "grad_max_abs_err": round(gerr, 4),
                "speedup_fwd_bwd": round(fb_xla / fb_fla, 3)}
         results.append(row)

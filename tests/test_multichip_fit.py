@@ -62,7 +62,11 @@ def _run(dataset, tmp_path, n_dp, scan_steps, tag):
     return [h["train"] for h in res["history"]], res
 
 
-@pytest.mark.parametrize("scan_steps", [False, True])
+# scan_steps=True is the production default and stays in the fast suite;
+# the per-batch variant duplicates ~60s of compile for a path already pinned
+# by test_scan_steps_matches_per_batch, so it runs under -m slow
+@pytest.mark.parametrize("scan_steps",
+                         [pytest.param(False, marks=pytest.mark.slow), True])
 def test_dp_matches_single_device_trajectory(dataset, tmp_path, scan_steps):
     """Same seeds: an 8-way dp run and a single-device run must produce the
     same per-epoch train losses (up to reduction-order float differences).

@@ -189,9 +189,15 @@ def _joint_kwargs(prot_kw):
     return pk, mk, jk
 
 
+@pytest.mark.slow
 def test_partitioned_joint_forward_and_grad_parity(setup):
     """Full JointGNN with the protein tower partitioned over gp must match
-    the single-device JointGNN — prediction and parameter gradients."""
+    the single-device JointGNN — prediction and parameter gradients.
+
+    Slow-marked (85s: six joint-model compiles over the mesh); the default
+    suite still pins gp correctness through test_forward_parity /
+    test_param_tree_identical here and the fit()-level loss-trajectory
+    parity in test_gp_fit.py, which a grad divergence would break."""
     from caster_dta_tpu.models.joint import make_joint_gnn
 
     n, g, kw, raw, single, sharded, *_ , mesh = setup
