@@ -70,6 +70,7 @@ def main():
         by_op[e["name"]][1] += 1
         total_us += e["dur"]
 
+    total_us = max(total_us, 1e-9)
     matched_bytes = 0
     rows = []
     for name, (us, cnt) in sorted(by_op.items(), key=lambda kv: -kv[1][0]):
@@ -83,7 +84,7 @@ def main():
                      "achieved_gbs": gbs,
                      "kind": t["op"] if t else "?"})
 
-    step_ms = total_us / n / 1e3
+    step_ms = max(total_us / n / 1e3, 1e-9)
     total_traffic = sum(v["bytes"] for v in traffic.values())
     achieved = total_traffic / (step_ms * 1e-3) / 1e9
     summary = {
