@@ -112,6 +112,38 @@ def test_flash_mha_forward_and_grads_match_xla(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_flash_tristate_dispatch_in_mha_module(rng, monkeypatch):
+    """USE_FLASH_NO_WEIGHTS=True routes the need_weights=False call through
+    flash_mha (weights=None) with the same output as the XLA path — the
+    training-step dispatch the Trainer enables via return_attention=False."""
+    from caster_dta_tpu.nn import attention as attn_mod
+    from caster_dta_tpu.nn.attention import MultiheadAttention
+
+    b, lq, lk, e, h = 2, 40, 30, 32, 4
+    q = _rand(rng, b, lq, e)
+    kv = _rand(rng, b, lk, e)
+    pad = jnp.asarray(rng.random((b, lk)) < 0.3)
+
+    mha = MultiheadAttention(e, h)
+    variables = mha.init(jax.random.PRNGKey(0), q, kv, kv, pad)
+    out_ref, w_ref = mha.apply(variables, q, kv, kv, pad)
+    assert w_ref is not None
+
+    monkeypatch.setattr(attn_mod, "USE_FLASH_NO_WEIGHTS", True)
+    out_flash, w_flash = mha.apply(variables, q, kv, kv, pad,
+                                   need_weights=False)
+    assert w_flash is None
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # False forces the XLA path even with need_weights=False (which still
+    # produces weights — unused ones are dead-code-eliminated under jit)
+    monkeypatch.setattr(attn_mod, "USE_FLASH_NO_WEIGHTS", False)
+    out_xla, _ = mha.apply(variables, q, kv, kv, pad, need_weights=False)
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_flash_mha_under_jit_and_vmap_shapes(rng):
     """flash_mha composes with jit and non-multiple-of-block lengths."""
     from caster_dta_tpu.ops.pallas_attention import flash_mha
