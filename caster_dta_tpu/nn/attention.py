@@ -26,10 +26,21 @@ _NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
 # Differentiable flash path (ops/pallas_attention.flash_mha) when the caller
 # does not consume attention weights (need_weights=False, e.g. the training
 # loss): neither pass materializes the [B, H, Lq, Lk] logits in HBM.
-# Tri-state: None = auto (currently off pending the on-TPU measurement at
-# the production tiers — scripts/bench_attention_kiba.py records the
-# numbers either way); True = force; False = never.
-USE_FLASH_NO_WEIGHTS = None
+# Tri-state: None = auto; True = force; False = never.
+#
+# MEASURED OFF (round 4, scripts/bench_attention_kiba.py on v5e, bf16,
+# fwd+bwd over q/k/v — bench_attention_r4.out):
+#   flagship res->atoms [32,8,512x64]:  XLA 1.04 ms vs flash 2.00 ms (0.52x)
+#   flagship atoms->res [32,8,64x512]:  XLA 0.98 ms vs flash 1.72 ms (0.57x)
+#   kiba tier [4,8,4608x384]: the flash BACKWARD kernel fails to compile
+#   (Mosaic INTERNAL error — the whole-K/V-resident bwd tiles exceed VMEM
+#   at Lk=4608); the forward-only masked_mha compiles and remains available
+#   for inference/screening (use_pallas=True).
+# At these production tiers the materialized-logits tensor is <=113 MB and
+# XLA's fused softmax chain beats the blockwise kernel, so the training
+# path keeps the XLA route (same documented-off pattern as REMAT_MESSAGE
+# and the fused message MLP, nn/gvp.py).
+USE_FLASH_NO_WEIGHTS = False
 
 
 def _flash_dispatch() -> bool:

@@ -80,34 +80,59 @@ def main():
         def loss_flash(q, k, v):
             return (flash_mha(q, k, v, pad).astype(jnp.float32) ** 2).sum()
 
-        fwd_xla_c, _ = compile_timed(loss_xla, (q, k, v), f"{tag} xla fwd")
-        fwd_fla_c, cf = compile_timed(loss_flash, (q, k, v),
-                                      f"{tag} flash fwd")
-        g_xla_c, _ = compile_timed(
-            jax.value_and_grad(loss_xla, argnums=(0, 1, 2)), (q, k, v),
-            f"{tag} xla fwd+bwd")
-        g_fla_c, cfb = compile_timed(
-            jax.value_and_grad(loss_flash, argnums=(0, 1, 2)), (q, k, v),
-            f"{tag} flash fwd+bwd")
-
-        # numerics cross-check
-        (lx, gx), (lf, gf) = g_xla_c(q, k, v), g_fla_c(q, k, v)
-        rel = abs(float(lx) - float(lf)) / abs(float(lx))
-        gerr = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                         - b.astype(jnp.float32))))
-                   for a, b in zip(gx, gf))
-
-        fwd_xla = bench_compiled(fwd_xla_c, (q, k, v))
-        fwd_fla = bench_compiled(fwd_fla_c, (q, k, v))
-        fb_xla = bench_compiled(g_xla_c, (q, k, v))
-        fb_fla = bench_compiled(g_fla_c, (q, k, v))
+        # each stage guarded: a failing flash compile (the KIBA-tier bwd
+        # kernel exceeds VMEM and Mosaic errors out) records the failure
+        # and still benches every stage that works
         row = {"dir": tag, "shape": [B, H, lq, lk, HD],
-               "fwd_ms": {"xla": round(fwd_xla, 3), "flash": round(fwd_fla, 3)},
-               "fwd_bwd_ms": {"xla": round(fb_xla, 3),
-                              "flash": round(fb_fla, 3)},
-               "flash_compile_s": {"fwd": round(cf, 1), "fwd_bwd": round(cfb, 1)},
-               "loss_rel_err": round(rel, 6), "grad_max_abs_err": round(gerr, 4),
-               "speedup_fwd_bwd": round(fb_xla / fb_fla, 3)}
+               "fwd_ms": {}, "fwd_bwd_ms": {}, "flash_compile_s": {}}
+
+        def stage(key, fn, compile_key=None):
+            try:
+                c, dt = compile_timed(fn, (q, k, v), f"{tag} {key}")
+                if compile_key:
+                    row["flash_compile_s"][compile_key] = round(dt, 1)
+                return c
+            except Exception as e:
+                msg = str(e).splitlines()[0][:160]
+                row.setdefault("errors", {})[key] = msg
+                print(json.dumps({"compile_failed": f"{tag} {key}",
+                                  "error": msg}), flush=True)
+                return None
+
+        comps = {
+            "fwd_xla": stage("xla fwd", loss_xla),
+            "fwd_fla": stage("flash fwd", loss_flash, "fwd"),
+            "fb_xla": stage("xla fwd+bwd",
+                            jax.value_and_grad(loss_xla, argnums=(0, 1, 2))),
+            "fb_fla": stage("flash fwd+bwd",
+                            jax.value_and_grad(loss_flash, argnums=(0, 1, 2)),
+                            "fwd_bwd"),
+        }
+
+        if comps["fb_xla"] and comps["fb_fla"]:
+            (lx, gx), (lf, gf) = (comps["fb_xla"](q, k, v),
+                                  comps["fb_fla"](q, k, v))
+            row["loss_rel_err"] = round(
+                abs(float(lx) - float(lf)) / abs(float(lx)), 6)
+            row["grad_max_abs_err"] = round(
+                max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                          - b.astype(jnp.float32))))
+                    for a, b in zip(gx, gf)), 4)
+        if comps["fwd_xla"]:
+            row["fwd_ms"]["xla"] = round(bench_compiled(comps["fwd_xla"],
+                                                        (q, k, v)), 3)
+        if comps["fwd_fla"]:
+            row["fwd_ms"]["flash"] = round(bench_compiled(comps["fwd_fla"],
+                                                          (q, k, v)), 3)
+        if comps["fb_xla"]:
+            row["fwd_bwd_ms"]["xla"] = round(bench_compiled(comps["fb_xla"],
+                                                            (q, k, v)), 3)
+        if comps["fb_fla"]:
+            row["fwd_bwd_ms"]["flash"] = round(bench_compiled(comps["fb_fla"],
+                                                              (q, k, v)), 3)
+            if comps["fb_xla"]:
+                row["speedup_fwd_bwd"] = round(
+                    row["fwd_bwd_ms"]["xla"] / row["fwd_bwd_ms"]["flash"], 3)
         results.append(row)
         print(json.dumps(row), flush=True)
 
