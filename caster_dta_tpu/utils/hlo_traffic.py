@@ -38,6 +38,11 @@ _ARRAY_RE = re.compile(r"([a-z][a-z0-9]*)\[([0-9,]*)\]")
 _INSTR_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?.*?\)?)\s+([\w\-]+)\((.*)$")
 
+# metadata={op_name="jit(step)/jvp(...)/..." ...} — the jax-level op the
+# HLO instruction came from; lets profiler tables name hot fusions in
+# model terms
+_OPNAME_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
+
 # ops that define/route buffers without moving bytes through HBM
 _FREE_OPS = frozenset({
     "parameter", "constant", "bitcast", "tuple", "get-tuple-element",
@@ -92,13 +97,15 @@ def entry_traffic(hlo_text: str) -> Dict[str, dict]:
         name, shape, opcode, rest = m.groups()
         out_b = shape_bytes(shape)
         defs[name] = out_b
-        parsed.append((name, opcode, out_b, rest))
+        mo = _OPNAME_RE.search(line)
+        parsed.append((name, opcode, out_b, rest,
+                       mo.group(1) if mo else None))
 
     table: Dict[str, dict] = {}
-    for name, opcode, out_b, rest in parsed:
+    for name, opcode, out_b, rest, op_name in parsed:
         if opcode in _FREE_OPS:
             table[name] = {"op": opcode, "out_bytes": out_b, "in_bytes": 0,
-                           "bytes": 0}
+                           "bytes": 0, "jax_op": op_name}
             continue
         # operand list: the args up to the matching close-paren; operand
         # tokens are names defined earlier in ENTRY (constants inline as
@@ -113,7 +120,7 @@ def entry_traffic(hlo_text: str) -> Dict[str, dict]:
         in_b = sum(defs.get(tok, 0) for tok in
                    re.findall(r"%?([\w.\-]+)", rest[:i - 1]))
         table[name] = {"op": opcode, "out_bytes": out_b, "in_bytes": in_b,
-                       "bytes": in_b + out_b}
+                       "bytes": in_b + out_b, "jax_op": op_name}
     return table
 
 

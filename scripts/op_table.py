@@ -82,7 +82,8 @@ def main():
         rows.append({"op": name, "us_per_step": us / n, "pct": 100 * us / total_us,
                      "calls_per_step": cnt / n, "hbm_bytes": b,
                      "achieved_gbs": gbs,
-                     "kind": t["op"] if t else "?"})
+                     "kind": t["op"] if t else "?",
+                     "jax_op": (t.get("jax_op") or "") if t else ""})
 
     step_ms = max(total_us / n / 1e3, 1e-9)
     total_traffic = sum(v["bytes"] for v in traffic.values())
@@ -112,16 +113,18 @@ def main():
                  "`achieved GB/s` near/above ~700 marks ops already at the "
                  "bandwidth bound; far below marks latency/compute-bound or "
                  "poorly shaped ops.\n\n"
-                 "| us/step | % | calls | HBM MB | GB/s | kind | op |\n"
-                 "|---:|---:|---:|---:|---:|---|---|\n")
+                 "| us/step | % | calls | HBM MB | GB/s | kind | op "
+                 "| jax op |\n"
+                 "|---:|---:|---:|---:|---:|---|---|---|\n")
         cum = 0.0
         for r in rows[:80]:
             cum += r["pct"]
             mb = f"{r['hbm_bytes']/1e6:.2f}" if r["hbm_bytes"] else "-"
             gbs = f"{r['achieved_gbs']:.0f}" if r["achieved_gbs"] else "-"
+            jop = r["jax_op"].split("/")[-1][:48] if r["jax_op"] else "-"
             fh.write(f"| {r['us_per_step']:.1f} | {r['pct']:.1f} | "
                      f"{r['calls_per_step']:.0f} | {mb} | {gbs} | "
-                     f"{r['kind']} | `{r['op'][:60]}` |\n")
+                     f"{r['kind']} | `{r['op'][:60]}` | `{jop}` |\n")
         fh.write(f"\n(top 80 of {len(rows)} ops; cumulative "
                  f"{cum:.1f}% of device time)\n")
     print(json.dumps(summary))
