@@ -29,13 +29,14 @@ _NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
 # Tri-state: None = auto; True = force; False = never.
 #
 # MEASURED OFF (round 4, scripts/bench_attention_kiba.py on v5e, bf16,
-# fwd+bwd over q/k/v — bench_attention_r4.out):
-#   flagship res->atoms [32,8,512x64]:  XLA 1.04 ms vs flash 2.00 ms (0.52x)
-#   flagship atoms->res [32,8,64x512]:  XLA 0.98 ms vs flash 1.72 ms (0.57x)
-#   kiba tier [4,8,4608x384]: the flash BACKWARD kernel fails to compile
-#   (Mosaic INTERNAL error — the whole-K/V-resident bwd tiles exceed VMEM
-#   at Lk=4608); the forward-only masked_mha compiles and remains available
-#   for inference/screening (use_pallas=True).
+# fwd+bwd over q/k/v — bench_attention_r4_full.out):
+#   flagship res->atoms [32,8,512x64]: XLA 0.96 ms vs flash 1.97 ms (0.49x)
+#   flagship atoms->res [32,8,64x512]: XLA 0.97 ms vs flash 1.66 ms (0.58x)
+#   kiba [4,8,4608x384 / 384x4608]: flash loses the forward too (2.2 ms vs
+#   1.2/1.4 ms XLA) and the flash BACKWARD kernel fails to compile in both
+#   directions (Mosaic INTERNAL error — the whole-K/V-resident bwd tiles
+#   exceed VMEM at Lk=4608); the forward-only masked_mha compiles and
+#   remains available for inference/screening (use_pallas=True).
 # At these production tiers the materialized-logits tensor is <=113 MB and
 # XLA's fused softmax chain beats the blockwise kernel, so the training
 # path keeps the XLA route (same documented-off pattern as REMAT_MESSAGE
