@@ -67,7 +67,7 @@ def main():
 
     import jax.numpy as jnp
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=cfg.prng_impl)
     lr = np.float32(cfg.lr)
     # warmup/compile
     p, o, loss, _, rng = trainer._train_step(

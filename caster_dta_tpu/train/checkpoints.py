@@ -54,7 +54,15 @@ def save_train_state(output_folder: str, *, params, opt_state, rng,
         # msgpack cannot encode directly — flatten to nested dicts of arrays
         "params": serialization.to_state_dict(jax.device_get(params)),
         "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
-        "rng": np.asarray(jax.device_get(rng)),
+        # typed keys (jax.random.key) serialize via key_data + impl tag;
+        # legacy raw uint32 keys pass through as-is
+        "rng": np.asarray(jax.device_get(
+            jax.random.key_data(rng)
+            if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+            else rng)),
+        "rng_impl": (str(jax.random.key_impl(rng))
+                     if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                     else ""),
         "meta": {
             "epoch": epoch, "best_train": float(best_train),
             "best_val": float(best_val),
@@ -73,6 +81,21 @@ def save_train_state(output_folder: str, *, params, opt_state, rng,
     os.replace(tmp, path)
 
 
+def _restore_rng(raw):
+    """Rebuild a typed PRNG key from saved key data.
+
+    New states carry an explicit "rng_impl" tag; states written before the
+    typed-key change hold a raw key array whose impl is inferred from its
+    word count (2 = threefry2x32, the old default; 4 = rbg) — so pre-change
+    runs resume with bit-identical threefry streams."""
+    data = jax.numpy.asarray(raw["rng"]).astype(jax.numpy.uint32)
+    impl = raw.get("rng_impl") or (
+        "threefry2x32" if data.shape[-1] == 2 else "rbg")
+    # key_impl() prints like "threefry2x32"/"rbg"; normalize defensively
+    impl = str(impl).strip("<>").split()[-1] if " " in str(impl) else impl
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
 def load_train_state(output_folder: str, params_template, opt_state_template):
     """Restore state saved by save_train_state; returns None if absent."""
     path = os.path.join(output_folder, TRAIN_STATE_FILE)
@@ -85,7 +108,7 @@ def load_train_state(output_folder: str, params_template, opt_state_template):
         "params": serialization.from_state_dict(params_template, raw["params"]),
         "opt_state": serialization.from_state_dict(opt_state_template,
                                                    raw["opt_state"]),
-        "rng": jax.numpy.asarray(raw["rng"]),
+        "rng": _restore_rng(raw),
         "epoch": int(meta["epoch"]),
         "best_train": float(meta["best_train"]),
         "best_val": float(meta["best_val"]),

@@ -45,6 +45,15 @@ class TrainConfig:
     # train_model.py:478; params/grads/moments stay f32). None = pure f32.
     # Trace-time setting: applied process-wide when the Trainer is built.
     compute_dtype: Optional[str] = None
+    # dropout-mask PRNG. "rbg" (XLA RngBitGenerator) is the TPU-native
+    # generator: measured 4.68 -> 3.41 ms/step on the flagship bucket
+    # (scripts/bench_prng_ab.py, +37% throughput) because threefry mask
+    # bits for the joint head's ~10 [16K, 128..256] dropout masks dominate
+    # several hot fusions (PROFILE_r4.md). "threefry2x32" gives jax's
+    # cross-backend-identical streams — old train_state files (raw 2-word
+    # keys) restore as threefry automatically, so existing runs resume
+    # bit-identically.
+    prng_impl: str = "rbg"
     # full train-state checkpointing (params+optimizer+scheduler+rng): write
     # train_state.msgpack every k epochs (0 = off); resume=True restarts an
     # interrupted run from it bit-identically.
@@ -144,7 +153,10 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum)
         self.tx = tx
 
-        rng = jax.random.PRNGKey(config.seed)
+        # typed key: the PRNG impl travels in the dtype, so every split/
+        # bernoulli downstream (incl. flax make_rng) follows it with no
+        # global config
+        rng = jax.random.key(config.seed, impl=config.prng_impl)
         self.rng, init_rng = jax.random.split(rng)
         # jit the inits: eager flax/optax init issues hundreds of small device
         # ops, each a round trip on a remote-device (tunnel) backend
@@ -803,9 +815,17 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
         output_folder, checkpoints.best_checkpoint_name(
             "final", dataset_name, mean_val, epoch)))
 
-    # test evaluation with the best-val params
-    best = checkpoints.get_best_model(output_folder, "val")
-    trainer.params = checkpoints.load_params(trainer.params, best)
+    # test evaluation with the best-val params. A resumed bounded run whose
+    # continued epochs never beat the restored best val (and whose best
+    # files were pruned/absent) has no best checkpoint — evaluate with the
+    # current params instead of crashing.
+    try:
+        best = checkpoints.get_best_model(output_folder, "val")
+        trainer.params = checkpoints.load_params(trainer.params, best)
+    except FileNotFoundError:
+        if verbose:
+            print("no best-val checkpoint on disk; test-evaluating with "
+                  "the final params", flush=True)
     preds, targets = [], []
     if len(test_dl) > 0:
         _, pred, target, _ = trainer.eval_epoch(

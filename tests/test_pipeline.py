@@ -283,7 +283,11 @@ def test_bf16_mixed_precision(dataset, tmp_path):
         return float(np.mean((np.asarray(pred)[m] - batch.target[m]) ** 2))
 
     for dt in (None, "bfloat16"):
+        # threefry pinned: the 10-step decrease thresholds below were
+        # calibrated on that init stream (the test is about compute-dtype
+        # semantics, not the PRNG; rbg is covered by the suite's defaults)
         tr = Trainer(model, TrainConfig(seed=0, lr=1e-2, scheduler=None,
+                                        prng_impl="threefry2x32",
                                         compute_dtype=dt), batch)
         p, o = tr.params, tr.opt_state
         ev0 = eval_mse(tr, p)
@@ -338,6 +342,17 @@ def test_resume_bit_identical(dataset, tmp_path):
     h_resumed = [(e["epoch"], e["train"], e["val"])
                  for e in resumed["history"]]
     assert h_resumed == h_straight
+    # compare the FINAL-epoch params (finalmodel checkpoints), not the
+    # returned best-val-loaded params: the resumed dir's pre-interrupt best
+    # files were wiped above, so when the overall best val falls in the
+    # pre-interrupt epochs the two runs legitimately reload different best
+    # checkpoints — the resume guarantee is about the training trajectory
+    from caster_dta_tpu.train import checkpoints as _ck
+    straight["params"] = _ck.load_params(
+        straight["params"], _ck.get_best_model(str(tmp_path / "straight"),
+                                               "final"))
+    resumed["params"] = _ck.load_params(
+        resumed["params"], _ck.get_best_model(out, "final"))
     for a, b in zip(jax.tree_util.tree_leaves(straight["params"]),
                     jax.tree_util.tree_leaves(resumed["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
