@@ -37,7 +37,7 @@ def main():
     cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4,
                       compute_dtype="bfloat16")
     trainer = Trainer(model, cfg, batch)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=cfg.prng_impl)
     lr = np.float32(cfg.lr)
     p, o = trainer.params, trainer.opt_state
     p, o, loss, _, rng = trainer._train_step(p, o, batch, rng, lr)
