@@ -29,7 +29,7 @@ _NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
 # Tri-state: None = auto; True = force; False = never.
 #
 # MEASURED OFF (round 4, scripts/bench_attention_kiba.py on v5e, bf16,
-# fwd+bwd over q/k/v — bench_attention_r4_full.out):
+# fwd+bwd over q/k/v — docs/bench/bench_attention_r4_full.out):
 #   flagship res->atoms [32,8,512x64]: XLA 0.96 ms vs flash 1.97 ms (0.49x)
 #   flagship atoms->res [32,8,64x512]: XLA 0.97 ms vs flash 1.66 ms (0.58x)
 #   kiba [4,8,4608x384 / 384x4608]: flash loses the forward too (2.2 ms vs
