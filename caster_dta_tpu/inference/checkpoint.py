@@ -43,14 +43,20 @@ def template_batch(model_kwargs: dict):
     return pg, mg
 
 
-def load_model_from_checkpoint(check_path: str, best_model_type: str = "val"):
-    """-> (model, variables, model_kwargs)."""
+def load_model_from_checkpoint(check_path: str, best_model_type: str = "val",
+                               param_file: str | None = None):
+    """-> (model, variables, model_kwargs).
+
+    ``param_file`` pins an exact checkpoint file (the reference torch.loads
+    whatever path it is given, inference_utils.py:40-70); when None the best
+    ``best_model_type`` file in ``check_path`` is selected."""
     with open(os.path.join(check_path, "model_kwargs.json")) as f:
         model_kwargs = json.load(f)
     model = make_joint_gnn(model_kwargs["protein_gnn_kwargs"],
                            model_kwargs["molecule_gnn_kwargs"],
                            **model_kwargs["joint_gnn_kwargs"])
-    param_file = checkpoints.get_best_model(check_path, best_model_type)
+    if param_file is None:
+        param_file = checkpoints.get_best_model(check_path, best_model_type)
     if param_file.endswith(".pt"):
         from caster_dta_tpu.interop.torch_import import load_reference_checkpoint
         variables = load_reference_checkpoint(param_file, model_kwargs)

@@ -36,6 +36,20 @@ CE = 512   # edges per chunk (sorted/windowed kernels)
 BND = 256  # destination rows per block, dense-scan kernel (fewer passes)
 CED = 1024  # edges per chunk, dense-scan kernel (fewer DMA round trips)
 
+# Element dtype for the one-hot build (iota == ids compare). The build is
+# the dominant cost of these kernels at the training shapes (~1e12 compare
+# elements/s measured on v5e with int32); int16 doubles VPU lanes per cycle.
+# Values compared are node indices (< 32767 for int16; < 2049 for exact
+# float16 equality), far above any bucket ladder rung. Patched by
+# scripts/bench_segment_kernels.py for A/B.
+OH_DTYPE = jnp.int32
+
+
+def _onehot_bf16(ids_row, iota):
+    """(ids == iota) in OH_DTYPE -> bf16 one-hot. ids_row [1, C] int32 from
+    VMEM broadcasts against iota [R, C] built in OH_DTYPE by the caller."""
+    return (ids_row.astype(iota.dtype) == iota).astype(jnp.bfloat16)
+
 
 def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
                     acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
@@ -113,7 +127,8 @@ def _segment_kernel_t(block_ptr_ref, dst_ref, msgs_ref, out_ref,
     n_chunks = (end - aligned_start + CE - 1) // CE
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, CE), 0) + r * BN
+    row_ids = (jax.lax.broadcasted_iota(OH_DTYPE, (BN, CE), 0)
+               + (r * BN).astype(OH_DTYPE))
 
     def start_copy(k, slot):
         offset = aligned_start + k * CE
@@ -144,7 +159,7 @@ def _segment_kernel_t(block_ptr_ref, dst_ref, msgs_ref, out_ref,
             msg_sem.at[slot]).wait()
         # exact mantissa split (1 pass for bf16 inputs, 3 for f32):
         # see _segment_kernel_dense
-        oh_bf16 = (dst_vmem[slot] == row_ids).astype(jnp.bfloat16)
+        oh_bf16 = _onehot_bf16(dst_vmem[slot], row_ids)
         dims = (((1,), (1,)), ((), ()))
         for part in _mantissa_parts(msg_vmem[slot], n_split):
             acc_ref[...] += jax.lax.dot_general(
@@ -166,7 +181,8 @@ def _segment_kernel_dense(dst_ref, msgs_ref, out_ref,
     r = pl.program_id(1)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BND, CED), 0) + r * BND
+    row_ids = (jax.lax.broadcasted_iota(OH_DTYPE, (BND, CED), 0)
+               + (r * BND).astype(OH_DTYPE))
 
     def start_copy(k, slot):
         offset = k * CED
@@ -193,18 +209,17 @@ def _segment_kernel_dense(dst_ref, msgs_ref, out_ref,
         pltpu.make_async_copy(
             msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
             msg_sem.at[slot]).wait()
-        onehot = (dst_vmem[slot] == row_ids).astype(jnp.float32)
         # Three bf16 passes via an exact 8+8+8-bit mantissa split instead
         # of HIGHEST's six: the one-hot operand is exact in bf16, so
         # splitting only the f32 rows reproduces the full 24-bit mantissa
-        # while halving MXU time (the kernel's dominant cost). Mosaic lacks
-        # Precision.HIGH, hence the manual split.
+        # while halving MXU time. Mosaic lacks Precision.HIGH, hence the
+        # manual split.
         msg = msg_vmem[slot]
         hi = msg.astype(jnp.bfloat16)
         r1 = msg - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        oh_bf16 = onehot.astype(jnp.bfloat16)
+        oh_bf16 = _onehot_bf16(dst_vmem[slot], row_ids)
         dims = (((1,), (1,)), ((), ()))
         acc_ref[...] += (
             jax.lax.dot_general(hi, oh_bf16, dims,
@@ -241,7 +256,7 @@ def _scatter_fullN_kernel(ids_ref, msgs_ref, out_ref, acc_ref,
     b = pl.program_id(0)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, CED), 0)
+    row_ids = jax.lax.broadcasted_iota(OH_DTYPE, (np_, CED), 0)
 
     def start_copy(k, slot):
         offset = k * CED
@@ -268,7 +283,7 @@ def _scatter_fullN_kernel(ids_ref, msgs_ref, out_ref, acc_ref,
         pltpu.make_async_copy(
             msgs_ref.at[b, :, pl.ds(offset, CED)], msg_vmem.at[slot],
             msg_sem.at[slot]).wait()
-        onehot = (ids_vmem[slot] == row_ids).astype(jnp.bfloat16)  # [Np, CED]
+        onehot = _onehot_bf16(ids_vmem[slot], row_ids)             # [Np, CED]
         dims = (((1,), (1,)), ((), ()))  # contract the edge axis
         for part in _mantissa_parts(msg_vmem[slot], n_split):
             acc_ref[...] += jax.lax.dot_general(
@@ -513,8 +528,8 @@ CEG = 512  # edges per output block for the one-hot gather
 def _onehot_gather_kernel(idx_ref, table_ref, out_ref, *, np_: int,
                           n_split: int):
     idx = idx_ref[0]                                          # [1, CEG]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (np_, CEG), 0)
-    onehot = (iota == idx).astype(jnp.bfloat16)               # [Np, CEG]
+    iota = jax.lax.broadcasted_iota(OH_DTYPE, (np_, CEG), 0)
+    onehot = _onehot_bf16(idx, iota)                          # [Np, CEG]
     t = table_ref[0]                                          # [Fp, Np]
     # natural matmul form (lhs contracts its LAST dim, rhs its FIRST):
     # Mosaic inserts no operand relayouts. Output stays feature-major

@@ -165,6 +165,30 @@ def main(argv=None):
                    help="multi-host: this process's index")
     args = p.parse_args(argv)
 
+    if args.gp is not None and args.gp > 1:
+        # fail fast, before the expensive dataset build: the edge-partitioned
+        # protein tower supports only base_conv='lbamodel'
+        # (parallel/partition.py PartitionedJointGNN). The CLI default model
+        # is lbamodel; a non-lbamodel tower can only arrive via a
+        # resume/checkpoint folder's model_kwargs.json — check it here.
+        kwargs_src = None
+        if args.resume:
+            kwargs_src = os.path.join(args.out_folder, "model_kwargs.json")
+        elif args.checkpoint is not None:
+            d = (args.checkpoint if os.path.isdir(args.checkpoint)
+                 else os.path.dirname(args.checkpoint))
+            kwargs_src = os.path.join(d, "model_kwargs.json")
+        if kwargs_src is not None and os.path.exists(kwargs_src):
+            with open(kwargs_src) as f:
+                bc = json.load(f)["protein_gnn_kwargs"].get(
+                    "base_conv", "lbamodel")
+            if bc != "lbamodel":
+                raise SystemExit(
+                    f"--gp: the partitioned protein tower supports "
+                    f"base_conv='lbamodel' only (this run's model_kwargs.json "
+                    f"has base_conv={bc!r}). Train without --gp, or switch "
+                    f"the protein tower.")
+
     if (args.coordinator is not None or args.n_processes is not None
             or args.process_id is not None
             or os.environ.get("CASTER_DTA_MULTIHOST")):
@@ -222,9 +246,15 @@ def main(argv=None):
         # from the checkpoint, so its one-hot widths are preserved even when
         # the new dataset's vocabulary differs.
         from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
-        ckpt_dir = (args.checkpoint if os.path.isdir(args.checkpoint)
-                    else os.path.dirname(args.checkpoint))
-        _, variables, ck = load_model_from_checkpoint(ckpt_dir, args.use_best)
+        if os.path.isdir(args.checkpoint):
+            ckpt_dir, param_file = args.checkpoint, None
+        else:
+            # a FILE path pins that exact checkpoint (the reference
+            # torch.loads the path it is given); only the folder's
+            # model_kwargs.json is read alongside it
+            ckpt_dir, param_file = os.path.dirname(args.checkpoint), args.checkpoint
+        _, variables, ck = load_model_from_checkpoint(ckpt_dir, args.use_best,
+                                                      param_file=param_file)
         initial_params = variables["params"]
         pk, mk, jk = (ck["protein_gnn_kwargs"], ck["molecule_gnn_kwargs"],
                       ck["joint_gnn_kwargs"])

@@ -53,6 +53,13 @@ class TrainConfig:
     # cross-backend-identical streams — old train_state files (raw 2-word
     # keys) restore as threefry automatically, so existing runs resume
     # bit-identically.
+    #
+    # Stability caveat: JAX documents rbg bit output as NOT guaranteed
+    # stable across XLA versions, backends, or shardings — so the
+    # bit-identical-resume guarantee holds per-build and per-topology, not
+    # universally. For multi-host configs where cross-process mask agreement
+    # matters (or to pin a run's stream across toolchain upgrades), set
+    # prng_impl="threefry2x32".
     prng_impl: str = "rbg"
     # full train-state checkpointing (params+optimizer+scheduler+rng): write
     # train_state.msgpack every k epochs (0 = off); resume=True restarts an
@@ -559,13 +566,25 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     sub-epoch per epoch — the reference instead refuses such proteins
     (3,000-residue cap, load_data.py:218-222). ladder_kwargs overrides the
     bucket ladders (tests use tiny ladders to exercise the overflow path)."""
+    gp = config.gp or 0
+    if gp > 1:
+        # fail fast at config validation (the same check otherwise surfaces
+        # as a NotImplementedError deep inside the first partitioned trace,
+        # parallel/partition.py PartitionedJointGNN.__call__)
+        bc = (getattr(model, "protein_gnn_kwargs", None) or {}).get(
+            "base_conv", "lbamodel")
+        if bc != "lbamodel":
+            raise ValueError(
+                f"TrainConfig.gp: the partitioned protein tower supports "
+                f"base_conv='lbamodel' only (model has base_conv={bc!r}); "
+                f"train without gp or switch the protein tower")
+
     os.makedirs(output_folder, exist_ok=True)
     n_epochs = n_epochs if n_epochs is not None else config.n_epochs
     ladder_kwargs = ladder_kwargs or {}
 
     train_idx, val_idx, test_idx = split_dataset(dataset, config.seed)
 
-    gp = config.gp or 0
     mesh = None
     store_sharding = None
     if gp > 1:

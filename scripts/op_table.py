@@ -98,6 +98,9 @@ def main():
         "hbm_bytes_physical_ceiling": round(ceiling),
         "trace_matched_ops": sum(1 for r in rows if r["hbm_bytes"] is not None),
         "trace_total_ops": len(rows),
+        # fusion-boundary bytes of the trace-matched ops (coverage check
+        # against fusion_boundary_bytes_upper_bound)
+        "trace_matched_bytes": matched_bytes,
         "device": str(jax.devices()[0]),
     }
 

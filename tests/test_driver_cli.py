@@ -85,3 +85,78 @@ def test_driver_checkpoint_finetune(tmp_path):
     # warm start: epoch-0 fine-tune loss well below epoch-0 scratch loss
     assert ft["history"][0]["train"] < scratch["history"][0]["train"]
     assert ft["history"][0]["train"] < scratch["history"][-1]["train"] * 1.5
+
+
+def test_driver_gp_fail_fast(tmp_path):
+    """--gp with a non-lbamodel protein tower (from a resume folder's
+    model_kwargs.json) must be rejected BEFORE the dataset build, with the
+    message from parallel/partition.py (VERDICT r04 item 7)."""
+    import json as _json
+
+    from caster_dta_tpu.train import driver
+
+    out = tmp_path / "run"
+    out.mkdir()
+    with open(out / "model_kwargs.json", "w") as f:
+        _json.dump({"protein_gnn_kwargs": {"base_conv": "gatv2"},
+                    "molecule_gnn_kwargs": {}, "joint_gnn_kwargs": {}}, f)
+    with pytest.raises(SystemExit, match="lbamodel"):
+        driver.main(["--gp", "2", "--resume", "--out-folder", str(out),
+                     "--data-root", str(tmp_path / "nonexistent")])
+
+
+def test_fit_gp_fail_fast():
+    """Programmatic guard: fit() with gp>1 and a non-lbamodel tower raises
+    at config validation, before touching the dataset."""
+    from caster_dta_tpu.train.loop import TrainConfig, fit
+
+    class FakeModel:
+        protein_gnn_kwargs = {"base_conv": "gatv2"}
+
+    with pytest.raises(ValueError, match="lbamodel"):
+        fit(FakeModel(), None, "x", "/tmp/_gp_guard", TrainConfig(gp=2), 1, 1)
+
+
+def test_checkpoint_file_pinning(tmp_path):
+    """--checkpoint naming a FILE loads that exact file's params, not the
+    best-val reselection (reference torch.loads the given path; ADVICE r04)."""
+    import numpy as np
+
+    from caster_dta_tpu.data import synthetic
+    from caster_dta_tpu.data.pairs import ProteinMoleculeDataset
+    from caster_dta_tpu.inference.checkpoint import load_model_from_checkpoint
+    from caster_dta_tpu.train import checkpoints
+    from caster_dta_tpu.train.loop import TrainConfig, fit
+    from caster_dta_tpu.models.joint import make_joint_gnn
+    from caster_dta_tpu.train.driver import default_model_kwargs
+
+    df = synthetic.make_synthetic_dataframe(str(tmp_path / "synth"),
+                                            n_proteins=3, n_molecules=4,
+                                            n_pairs=12, seed=0)
+    ds = ProteinMoleculeDataset(
+        df, protein_dist_units="angstroms", protein_edge_thresh=4,
+        protein_thresh_type="dist", protein_keep_selfloops=True,
+        protein_vector_features=True, molecule_include_selfloops=True,
+        scale_output=["standardize"], n_workers=0)
+    pk, mk, jk = default_model_kwargs(ds.metadata_dict)
+    model = make_joint_gnn(pk, mk, **jk)
+    out = tmp_path / "run"
+    res = fit(model, ds, "synthetic", str(out),
+              TrainConfig(n_epochs=2, seed=0, save_state_every=0,
+                          device_data_budget=None),
+              max_num=4000, max_batch_size=8)
+    checkpoints.save_run_artifacts(str(out), {}, None, pk, mk, jk)
+    # write a DISTINCT param file; pinning it must return those params
+    params0 = res["params"]
+    pinned = str(out / "pinned_params.msgpack")
+    import jax
+    marked = jax.tree_util.tree_map(lambda a: a * 0 + 7.0, params0)
+    checkpoints.save_params(marked, pinned)
+    _, variables, _ = load_model_from_checkpoint(str(out), "val",
+                                                 param_file=pinned)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(np.allclose(np.asarray(l), 7.0) for l in leaves)
+    # and without param_file the best-val file is still selected
+    _, variables2, _ = load_model_from_checkpoint(str(out), "val")
+    leaves2 = jax.tree_util.tree_leaves(variables2["params"])
+    assert not all(np.allclose(np.asarray(l), 7.0) for l in leaves2)
