@@ -46,22 +46,44 @@ def _device_step_ms(step, args, n=20):
 
 
 def main():
+    import argparse
+
     import jax
 
     from __graft_entry__ import _trained_config_model, _synthetic_batch
     from caster_dta_tpu.train.loop import TrainConfig, Trainer
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-dp", type=int, default=1,
+                    help="data-parallel mesh size: shard the flagship "
+                         "megabatch over this many devices and report "
+                         "edges/s/CHIP. On the single-chip env n_dp=1 is "
+                         "the headline; on multi-chip hardware this is the "
+                         "scaling-efficiency measurement (>=80 pct of "
+                         "n_dp=1 per chip is the north-star target).")
+    args = ap.parse_args()
+    n_dp = max(args.n_dp, 1)
+
     # BindingDB-shaped bucket: ~460-residue proteins at 4A threshold
     # (~9 edges/node), drug-size molecules; budget 4e6 -> batch 32 capped.
     B, N_P, E_P, N_M, E_M = 32, 512, 4096, 64, 256
+    assert B % n_dp == 0, "batch 32 must divide n_dp"
     batch = _synthetic_batch(b=B, n_p=N_P, e_p=E_P, n_m=N_M, e_m=E_M, seed=0)
 
     model = _trained_config_model()
     # bf16 matmuls: the training driver's default and the reference's AMP-on
     # equivalent (reference train_model.py:478); params/grads stay f32.
     cfg = TrainConfig(seed=0, optimizer="adam", lr=1e-4,
-                      compute_dtype="bfloat16")
-    trainer = Trainer(model, cfg, batch)
+                      compute_dtype="bfloat16",
+                      n_dp=n_dp if n_dp > 1 else None)
+    mesh = None
+    if n_dp > 1:
+        from caster_dta_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(n_dp)
+    trainer = Trainer(model, cfg, batch, mesh=mesh)
+    if mesh is not None:
+        from caster_dta_tpu.parallel import mesh as pmesh
+        batch = pmesh.shard_pair_batch(batch, mesh)
 
     import functools
 
@@ -135,9 +157,11 @@ def main():
         for _ in range(reps):
             a, b = axpy(a, b)
         jax.block_until_ready(b)
-        # 3 reads (x twice? no: x once, y twice) + 2 writes of one array
+        # XLA emits one multi-output fusion for (x+y, y+1.0): x and y are
+        # each READ ONCE, two arrays written -> 4*nbytes moved (a 5x count
+        # would overstate the lower bound by 25% — ADVICE r04 #1)
         measured_bw = max(measured_bw,
-                          5 * nbytes / ((time.perf_counter() - t0) / reps))
+                          4 * nbytes / ((time.perf_counter() - t0) / reps))
         del a, b
     except Exception as e:
         import sys
@@ -175,7 +199,7 @@ def main():
         # evidence of >100% "utilization" (round-3's mistake). The
         # hardware-grounded per-op evidence lives in PROFILE_r4.md
         # (scripts/op_table.py: measured per-op time joined with
-        # fusion-boundary bytes).
+        # fusion-boundary bytes); see PROFILE_r5.md for the shipping config.
         ceiling = meas / 1e3 * hbm_bw
         roofline = {
             "flops_per_step": flops,
@@ -188,9 +212,10 @@ def main():
             "hbm_bytes_physical_ceiling": round(ceiling),
             "mem_bound_verdict": (
                 "not-classically-memory-bound: step time is set by "
-                "irregular gather/scatter kernels and a ~2,500-op "
-                "sequencing floor, not by a single saturated resource — "
-                "see PROFILE_r4.md"),
+                "MXU-occupancy-bound one-hot gather/scatter kernels and a "
+                "~2,700-op sequencing floor, not by a single saturated "
+                "resource — see PROFILE_r5.md + docs/bench/"
+                "segment_kernels_r5.json"),
         }
         if measured_bw:
             roofline["measured_stream_bw_gbs_lower_bound"] = round(
@@ -201,8 +226,25 @@ def main():
 
     p_edges = int(np.asarray(batch.protein.edge_mask).sum())
     m_edges = int(np.asarray(batch.molecule.edge_mask).sum())
-    edges_per_s = (p_edges + m_edges) / dt
-    pairs_per_s = B / dt
+    # per-CHIP throughput: the whole megabatch is processed each step but
+    # sharded over n_dp devices, so divide by the mesh size (n_dp=1: the
+    # usual single-chip headline)
+    edges_per_s = (p_edges + m_edges) / dt / n_dp
+    pairs_per_s = B / dt / n_dp
+
+    # predicted per-step dp collective traffic: one ring all-reduce of the
+    # f32 gradient vector over ICI — 2*(n-1)/n * param_bytes per chip
+    # (the dryrun-validated comm story, quantified; VERDICT r04 item 4)
+    collective = None
+    if n_dp > 1:
+        param_bytes = sum(
+            a.size * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(trainer.params_pytree()))
+        collective = {
+            "grad_allreduce_bytes_per_chip":
+                round(2 * (n_dp - 1) / n_dp * param_bytes),
+            "param_bytes": param_bytes,
+        }
 
     baseline_file = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     baseline = None
@@ -221,6 +263,8 @@ def main():
             "pairs_per_s": round(pairs_per_s, 1),
             "batch": {"B": B, "N_p": N_P, "E_p": E_P, "N_m": N_M, "E_m": E_M},
             "real_edges_per_batch": p_edges + m_edges,
+            "n_dp": n_dp,
+            "dp_collective": collective,
             "device": str(jax.devices()[0]),
             "roofline": roofline,
             # measured Davis epoch time (train 21,039 + val 4,508 pairs,

@@ -23,31 +23,20 @@ from caster_dta_tpu.nn.common import Dense
 
 _NEG = -1e9  # large negative for masked logits (bf16-safe; torch uses -inf)
 
-# Differentiable flash path (ops/pallas_attention.flash_mha) when the caller
-# does not consume attention weights (need_weights=False, e.g. the training
-# loss): neither pass materializes the [B, H, Lq, Lk] logits in HBM.
-# Tri-state: None = auto; True = force; False = never.
-#
-# MEASURED OFF (round 4, scripts/bench_attention_kiba.py on v5e, bf16,
-# fwd+bwd over q/k/v — docs/bench/bench_attention_r4_full.out):
+# TRAINING dispatch note: a differentiable flash path (custom-VJP Pallas
+# kernel, gated by a USE_FLASH_NO_WEIGHTS tri-state here) existed through
+# round 4 and was RETIRED after measurement (scripts/archive/
+# bench_attention_kiba.py on v5e, bf16, fwd+bwd over q/k/v —
+# docs/bench/bench_attention_r4_full.out):
 #   flagship res->atoms [32,8,512x64]: XLA 0.96 ms vs flash 1.97 ms (0.49x)
 #   flagship atoms->res [32,8,64x512]: XLA 0.97 ms vs flash 1.66 ms (0.58x)
 #   kiba [4,8,4608x384 / 384x4608]: flash loses the forward too (2.2 ms vs
-#   1.2/1.4 ms XLA) and the flash BACKWARD kernel fails to compile in both
-#   directions (Mosaic INTERNAL error — the whole-K/V-resident bwd tiles
-#   exceed VMEM at Lk=4608); the forward-only masked_mha compiles and
-#   remains available for inference/screening (use_pallas=True).
-# At these production tiers the materialized-logits tensor is <=113 MB and
-# XLA's fused softmax chain beats the blockwise kernel, so the training
-# path keeps the XLA route (same documented-off pattern as REMAT_MESSAGE
-# and the fused message MLP, nn/gvp.py).
-USE_FLASH_NO_WEIGHTS = False
-
-
-def _flash_dispatch() -> bool:
-    if USE_FLASH_NO_WEIGHTS is not None:
-        return USE_FLASH_NO_WEIGHTS
-    return False
+#   1.2/1.4 ms XLA) and the flash BACKWARD kernel failed to compile in both
+#   directions (Mosaic VMEM at Lk=4608).
+# At every production tier the materialized-logits tensor is <=113 MB and
+# XLA's fused softmax chain wins, so training always takes the XLA route;
+# the forward-only masked_mha kernel (use_pallas=True) remains the
+# inference/screening path for very large proteins.
 
 
 class MultiheadAttention(nn.Module):
@@ -88,15 +77,6 @@ class MultiheadAttention(nn.Module):
             from caster_dta_tpu.ops.pallas_attention import masked_mha
 
             out = masked_mha(q, k, v, key_padding_mask)
-            out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
-            out = Dense(e, dtype=self.dtype, name="out_proj")(out)
-            return out, None
-
-        if (not need_weights and (self.dropout == 0.0 or deterministic)
-                and not self.is_initializing() and _flash_dispatch()):
-            from caster_dta_tpu.ops.pallas_attention import flash_mha
-
-            out = flash_mha(q, k, v, key_padding_mask).astype(q.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
             out = Dense(e, dtype=self.dtype, name="out_proj")(out)
             return out, None

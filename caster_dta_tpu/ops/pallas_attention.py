@@ -12,15 +12,16 @@ Semantics match nn/attention.py exactly: scale 1/sqrt(hd), key padding mask
 adds -1e9 (so a fully-masked row degrades to uniform weights, same as the
 XLA softmax over constant logits), f32 accumulation.
 
-Two entry points:
+Entry point: ``masked_mha`` — forward-only streaming kernel for
+inference/screening on very large proteins.
 
-* ``masked_mha`` — forward-only streaming kernel (inference/screening).
-* ``flash_mha`` — differentiable (custom VJP): the backward kernel
-  recomputes the softmax tiles in VMEM from (q, k, v, out), so neither pass
-  ever materializes the [B, H, Lq, Lk] logits in HBM. This is the training
-  path when attention maps are not requested (JointGNN return_attention=
-  False): at the flagship bucket the XLA attention's logit tensors are 8x
-  [32, 8, 512, 64] bf16 (~134 MB) of the train step's HBM traffic.
+A differentiable ``flash_mha`` (custom-VJP, whole-K/V-resident backward
+kernel) existed through round 4 and was RETIRED after measurement: it lost
+the fwd+bwd A/B at every production tier where it compiled (0.49x/0.58x at
+the flagship tiers) and its backward exceeded VMEM at the KIBA tier
+(Lk=4608, Mosaic compile failure) — docs/bench/bench_attention_r4_full.out,
+RESULTS.md "Flash attention A/B". XLA's fused materialized-logits softmax
+is the training path (nn/attention.py).
 """
 from __future__ import annotations
 
@@ -28,7 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -114,89 +115,6 @@ def _mha(q, k, v, pad_mask, interpret=False, highest=True):
     )(q, k, v, pad_mask[:, None, :])
 
 
-def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, do_ref,
-                    dq_ref, dk_ref, dv_ref, *, scale, h, lq, lk, hd):
-    """One program = one batch element. Recomputes each [BQ, Lk] softmax tile
-    from (q, k) in VMEM and backprops it (standard flash backward, with the
-    whole K/V resident — Lk here is the padded atom/residue count, <= ~4k).
-
-    Masking matches the XLA path's where(mask, -1e9, logits): the masked
-    logits are constants there, so d_logits is zeroed at masked keys, while
-    dV still flows through the (near-zero, or uniform-degenerate) weights.
-    """
-    nq = lq // BQ
-    for head in range(h):
-        k_h = k_ref[0, head]                               # [Lk, hd]
-        v_h = v_ref[0, head]
-        cdt = k_h.dtype                                    # compute dtype
-        pad = pad_ref[0, 0]                                # [Lk] i32
-        neg = jnp.where(pad[None, :] == 1, _NEG, 0.0)
-        neg = jnp.where(pad[None, :] == 2, 2.0 * _NEG, neg)  # [1, Lk]
-        key_live = (pad[None, :] == 0).astype(jnp.float32)
-
-        def body(i, carry):
-            dk_acc, dv_acc = carry
-            qs = q_ref[0, head, pl.ds(i * BQ, BQ), :]
-            do = do_ref[0, head, pl.ds(i * BQ, BQ), :].astype(cdt)
-            o = o_ref[0, head, pl.ds(i * BQ, BQ), :]
-
-            s = jax.lax.dot_general(
-                qs, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + neg  # [BQ, Lk]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-            p = p / l                                        # softmax rows
-
-            d = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(cdt), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [Lk, hd]
-            dp = jax.lax.dot_general(
-                do, v_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [BQ, Lk]
-            ds = (p * (dp - d) * key_live).astype(cdt)       # mask kills d_logits
-            dq_ref[0, head, pl.ds(i * BQ, BQ), :] = (
-                jnp.dot(ds, k_h, preferred_element_type=jnp.float32) * scale)
-            dk_acc = dk_acc + jax.lax.dot_general(
-                ds, qs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [Lk, hd]
-            return dk_acc, dv_acc
-
-        zeros = jnp.zeros((lk, hd), jnp.float32)
-        dk, dv = jax.lax.fori_loop(0, nq, body, (zeros, zeros))
-        dk_ref[0, head] = dk
-        dv_ref[0, head] = dv
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mha_bwd(q, k, v, pad, o, do, interpret=False):
-    b, h, lq, hd = q.shape
-    lk = k.shape[2]
-    scale = 1.0 / float(hd) ** 0.5
-    kernel = functools.partial(_mha_bwd_kernel, scale=scale, h=h,
-                               lq=lq, lk=lk, hd=hd)
-    full_q = pl.BlockSpec((1, h, lq, hd), lambda bi: (bi, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    full_k = pl.BlockSpec((1, h, lk, hd), lambda bi: (bi, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, h, lq, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lk, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lk, hd), jnp.float32)),
-        grid_spec=pl.GridSpec(
-            grid=(b,),
-            in_specs=[full_q, full_k, full_k,
-                      pl.BlockSpec((1, 1, lk), lambda bi: (bi, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      full_q, full_q],
-            out_specs=(full_q, full_k, full_k),
-        ),
-        interpret=interpret,
-    )(q, k, v, pad, o, do)
-
-
 def _pad_inputs(q, k, v, key_padding_mask, dtype=None):
     b, h, lq, hd = q.shape
     lk = k.shape[2]
@@ -216,42 +134,6 @@ def _pad_inputs(q, k, v, key_padding_mask, dtype=None):
 
 def _interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
-
-
-@jax.custom_vjp
-def _flash_core(q, k, v, pad):
-    return _mha(q, k, v, pad[:, 0, :], interpret=_interpret(), highest=False)
-
-
-def _flash_fwd(q, k, v, pad):
-    out = _flash_core(q, k, v, pad)
-    return out, (q, k, v, pad, out)
-
-
-def _flash_bwd(res, g):
-    q, k, v, pad, out = res
-    dq, dk, dv = _mha_bwd(q, k, v, pad, out, g.astype(jnp.float32),
-                          interpret=_interpret())
-    dpad = np.zeros(pad.shape, jax.dtypes.float0)
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dpad)
-
-
-_flash_core.defvjp(_flash_fwd, _flash_bwd)
-
-
-def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              key_padding_mask=None) -> jnp.ndarray:
-    """Differentiable blockwise masked attention (custom VJP).
-
-    Same contract as masked_mha (q: [B, H, Lq, hd]; k/v: [B, H, Lk, hd];
-    key_padding_mask: bool [B, Lk], True = padding), but with a Pallas
-    backward kernel, so it is usable inside jax.grad — neither pass
-    materializes [B, H, Lq, Lk] in HBM. Returns f32 [B, H, Lq, hd].
-    """
-    lq = q.shape[2]
-    qp, kp, vp, pad = _pad_inputs(q, k, v, key_padding_mask)
-    out = _flash_core(qp, kp, vp, pad)
-    return out[:, :, :lq, :]
 
 
 def masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

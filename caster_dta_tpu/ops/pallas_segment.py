@@ -51,6 +51,22 @@ def _onehot_bf16(ids_row, iota):
     return (ids_row.astype(iota.dtype) == iota).astype(jnp.bfloat16)
 
 
+def _block_ptr(dst_sorted: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Row-pointer array for the windowed kernels: flat [B*(nb+1)] int32 with
+    ptr[b, r] = #(dst[b] < r*BN). Equivalent to
+    vmap(searchsorted)(dst, arange(nb+1)*BN, 'left') but as ONE bucket-count
+    + cumsum fusion instead of a vmapped binary-search while-loop (the two
+    while ops were 44 us/step of the flagship profile, PROFILE_r5.md)."""
+    bucket = dst_sorted // BN                                    # [B, E]
+    counts = jnp.sum(
+        bucket[:, None, :] == jnp.arange(nb, dtype=bucket.dtype)[None, :, None],
+        axis=-1, dtype=jnp.int32)                                # [B, nb]
+    ptr = jnp.concatenate(
+        [jnp.zeros((dst_sorted.shape[0], 1), jnp.int32),
+         jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)   # [B, nb+1]
+    return ptr.reshape(-1)
+
+
 def _segment_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
                     acc_ref, msg_vmem, dst_vmem, msg_sem, dst_sem):
     """Double-buffered: chunk k+1's HBM->VMEM DMA overlaps chunk k's
@@ -393,10 +409,7 @@ def _pallas_segment_sum_2d_t(messages: jnp.ndarray, dst: jnp.ndarray,
     msgs_t = msgs_t.transpose(0, 2, 1)                      # [B, Fp, E_pad]
     dst = jnp.pad(dst, ((0, 0), (0, e_pad - e)), constant_values=num_nodes - 1)
 
-    boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * BN
-    block_ptr = jax.vmap(
-        lambda d: jnp.searchsorted(d, boundaries, side="left"))(dst)
-    block_ptr = block_ptr.astype(jnp.int32).reshape(-1)
+    block_ptr = _block_ptr(dst, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -440,10 +453,7 @@ def _pallas_segment_sum_2d(messages: jnp.ndarray, dst: jnp.ndarray,
     # messages are zero so the one-hot contribution is zero anyway
     dst = jnp.pad(dst, ((0, 0), (0, e_pad - e)), constant_values=num_nodes - 1)
 
-    boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * BN
-    block_ptr = jax.vmap(
-        lambda d: jnp.searchsorted(d, boundaries, side="left"))(dst)
-    block_ptr = block_ptr.astype(jnp.int32).reshape(-1)
+    block_ptr = _block_ptr(dst, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -593,4 +603,133 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, fp, CEG), lambda bi, k: (bi, 0, k)),
         interpret=interpret,
     )(idx_p[:, None, :], t)
+    return out.transpose(0, 2, 1)[:, :e, :f_in]
+
+
+# ---------------------------------------------------------------------------
+# Window-adaptive one-hot gather: out[b, e, :] = table[b, idx[b, e], :]
+#
+# The fixed onehot_gather above contracts the FULL node axis for every edge
+# chunk: MACs = Np * E * Fp with the MXU at fp/128 row occupancy — measured
+# MXU-bound at the training shapes (171 us for [32,512x28] x 8192 idx; the
+# 1/4-occupancy roofline predicts 174 us; docs/bench/segment_kernels_r5.json
+# shows compare dtype and chunk size change nothing). This kernel instead
+# scans, per edge chunk, ONLY the node-row windows the chunk's indices
+# actually span (scalar-prefetched window start + count, computed from
+# per-chunk min/max): sorted indices (the dst endpoint; data/graphs.py sorts
+# edges by dst) span ~W rows per chunk -> Np/W fewer MACs and compares;
+# unsorted indices degrade gracefully to the full scan.
+#
+# MEASURED OFF (v5e, docs/bench/gather_windowed_r5.json): 169-491 us vs the
+# fixed kernel's 89-171 us at the flagship shapes. The MAC savings are real
+# but the per-cell window DMA waits (the table block is no longer
+# pipeline-resident) and, in the 3D-grid variant tried first, per-cell grid
+# overhead cost more than the saved MXU passes. The fixed resident-table
+# kernel is the production dispatch; this stays as the documented-off
+# alternative (same pattern as REMAT_MESSAGE / pallas_gvp_message /
+# TrainConfig.flat_params).
+# ---------------------------------------------------------------------------
+
+WG = 128   # node rows per window (lane-tile aligned; also the MXU K tile)
+CEW = 512  # edges per output block
+
+
+def _gather_window_kernel(win_ref, idx_ref, table_ref, out_ref,
+                          acc_ref, t_vmem, t_sem, *, n_split: int):
+    """Grid (b, edge-chunk). Per cell, loop over ONLY the node-row windows
+    the chunk's indices span (scalar-prefetched start + count); each
+    window's [fp, WG] table slice is DMA'd HBM->VMEM (double-buffered, the
+    proven dynamic-lane-offset DMA pattern of the segment kernels — Mosaic
+    rejects dynamic in-kernel VMEM slicing). Matmul in natural form
+    (lhs contracts last dim, rhs first): no operand relayouts."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    # window start is prefetched in BLOCK units and multiplied by the
+    # constant WG here so Mosaic can prove the lane offset divisible by the
+    # 128 tiling (a pre-multiplied runtime scalar fails that proof)
+    win0 = win_ref[b * 2 * nc + 2 * c] * WG
+    n_win = win_ref[b * 2 * nc + 2 * c + 1]
+
+    idx = idx_ref[0]                                      # [1, CEW] int32
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def start_copy(j, slot):
+        w = win0 + j * WG
+        pltpu.make_async_copy(
+            table_ref.at[b, :, pl.ds(w, WG)], t_vmem.at[slot],
+            t_sem.at[slot]).start()
+
+    start_copy(0, 0)
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_win)
+        def _():
+            start_copy(j + 1, 1 - slot)
+
+        w = win0 + j * WG
+        pltpu.make_async_copy(
+            table_ref.at[b, :, pl.ds(w, WG)], t_vmem.at[slot],
+            t_sem.at[slot]).wait()
+        iota = (jax.lax.broadcasted_iota(OH_DTYPE, (WG, CEW), 0)
+                + w.astype(OH_DTYPE))
+        onehot = _onehot_bf16(idx, iota)                  # [WG, CEW]
+        dims = (((1,), (0,)), ((), ()))                   # natural form
+        for part in _mantissa_parts(t_vmem[slot], n_split):
+            acc_ref[...] += jax.lax.dot_general(
+                part, onehot, dims, preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, n_win, body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def gather_windowed(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of table [B, N, F] by idx [B, E] -> [B, E, F] scanning
+    only the spanned node windows per edge chunk (forward only; pair with
+    a segment-sum for the VJP)."""
+    b, n, f_in = table.shape
+    e = idx.shape[1]
+    dtype = table.dtype
+    n_split = 1 if dtype == jnp.bfloat16 else 3
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    fp = max(((f_in + sub - 1) // sub) * sub, sub)
+    np_ = ((n + WG - 1) // WG) * WG
+    e_pad = ((e + CEW - 1) // CEW) * CEW
+    t = jnp.pad(table, ((0, 0), (0, np_ - n), (0, fp - f_in)))
+    t = t.transpose(0, 2, 1)                             # [B, fp, Np]
+    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, e_pad - e)))
+
+    # per-chunk window start/count from chunk min/max (one tiny XLA fusion)
+    nc = e_pad // CEW
+    kmax = np_ // WG
+    chunks = idx_p.reshape(b, nc, CEW)
+    lo_blk = jnp.min(chunks, axis=2) // WG               # [B, nc], block units
+    n_win = jnp.max(chunks, axis=2) // WG - lo_blk + 1
+    win = jnp.stack([lo_blk, n_win], axis=2).astype(jnp.int32).reshape(-1)
+
+    del kmax
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, CEW), lambda bi, c, win: (bi, 0, c)),
+            pl.BlockSpec(memory_space=pl.ANY),    # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, fp, CEW), lambda bi, c, win: (bi, 0, c)),
+        scratch_shapes=[
+            pltpu.VMEM((fp, CEW), jnp.float32),
+            pltpu.VMEM((2, fp, WG), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_window_kernel, n_split=n_split),
+        out_shape=jax.ShapeDtypeStruct((b, fp, e_pad), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(win, idx_p[:, None, :], t)
     return out.transpose(0, 2, 1)[:, :e, :f_in]

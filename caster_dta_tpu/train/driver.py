@@ -288,7 +288,7 @@ def main(argv=None):
                                  max_batch_size=max_bsize, shuffle=False)
         example = next(iter(test_dl))
         trainer = Trainer(model, cfg, example)
-        trainer.params = variables["params"]
+        trainer.set_params(variables["params"])
         _, pred, target, _ = trainer.eval_epoch(test_dl,
                                                 unscale=dataset.unscale_target)
         report = metrics_mod.regression_report(pred, target)

@@ -84,6 +84,20 @@ class TrainConfig:
     # train_model.py:353-355). None/1 = single device. Bucket batch sizes
     # round up to a multiple of n_dp so batches split evenly.
     n_dp: Optional[int] = None
+    # carry the parameters through the train step as ONE flat f32 vector
+    # (and run the optimizer directly on it) instead of a ~150-leaf pytree.
+    # Hypothesis was that the pytree step's ~450 per-leaf output buffers
+    # (params + two Adam moments -> ~600 sub-us copies,
+    # docs/bench/op_groups_r5.json) would collapse into three donated 3 MB
+    # vectors. MEASURED OFF (scripts/bench_flat_ab.py on v5e, flagship
+    # bucket, docs/bench/flat_ab_r5.json): wall 3.384 ms/step pytree vs
+    # 3.444 ms flat, device step 3.0 ms BOTH — XLA already emits the same
+    # schedule either way (optax.flatten runs the update on the
+    # concatenated vector in both configs; the unravel slices simply move
+    # from the update side to the forward side). Identical math — the A/B
+    # losses agree bitwise. Kept as an escape hatch; forced off under gp
+    # (the partitioned executor works on the pytree).
+    flat_params: bool = False
     # graph-partition parallelism: proteins LARGER than the bucket ladder
     # route to the edge-partitioned executor over a 'gp' mesh axis of this
     # many devices (parallel/partition.py) instead of raising — fit() trains
@@ -153,7 +167,12 @@ class Trainer:
         nn_common.set_compute_dtype(
             jnp.bfloat16 if config.compute_dtype in ("bfloat16", "bf16")
             else config.compute_dtype)
-        tx = make_optimizer(config.optimizer, config.lr, config.weight_decay)
+        # flat-params carry: the optimizer then runs directly on the flat
+        # vector, so skip the optax.flatten wrapper (same state structure —
+        # optax.flatten's state IS the inner state on the flat vector)
+        self._flat = bool(config.flat_params) and not (config.gp or 0) > 1
+        tx = make_optimizer(config.optimizer, config.lr, config.weight_decay,
+                            flatten=not self._flat)
         if config.clip_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(config.clip_norm), tx)
         if config.grad_accum > 1:
@@ -171,6 +190,13 @@ class Trainer:
                                              example_batch.molecule)
         self.params = variables["params"]
         self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        if self._flat:
+            from jax.flatten_util import ravel_pytree
+            _, self._unravel = ravel_pytree(
+                jax.tree_util.tree_map(np.asarray, self.params))
+            self._unravel_jit = jax.jit(self._unravel)
+            self.params = jax.jit(
+                lambda t: ravel_pytree(t)[0])(self.params)
         self.opt_state = jax.jit(self.tx.init)(self.params)
         if mesh is not None:
             from caster_dta_tpu.parallel import mesh as pmesh
@@ -184,12 +210,31 @@ class Trainer:
         self._train_scan = self._build_train_scan()
         self._eval_scan = self._build_eval_scan()
 
+    # --------------------------------------------------------- param carry
+    # With config.flat_params the step carry (self.params) is ONE flat f32
+    # vector; these helpers convert at the API boundary (checkpoints,
+    # inference, partitioned steps keep the pytree format).
+    def params_pytree(self):
+        return self._unravel_jit(self.params) if self._flat else self.params
+
+    def set_params(self, tree):
+        """Adopt a params PYTREE (raveling it if this trainer runs flat)."""
+        if self._flat:
+            from jax.flatten_util import ravel_pytree
+            self.params = jax.jit(lambda t: ravel_pytree(t)[0])(tree)
+        else:
+            self.params = tree
+
+    def _as_tree(self, params):
+        """Trace-time view of the step's params operand as a pytree."""
+        return self._unravel(params) if self._flat else params
+
     # ------------------------------------------------------------------ steps
     def _build_train_step(self):
         model, tx = self.model, self.tx
 
         def loss_fn(params, batch, rng):
-            variables = {"params": params, **self.extra_vars}
+            variables = {"params": self._as_tree(params), **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
                                   deterministic=False, rngs={"dropout": rng},
                                   return_attention=False)
@@ -238,7 +283,8 @@ class Trainer:
                 molecule = jax.tree_util.tree_map(lambda a: a[m_rows], m_store)
 
                 def loss_fn(params):
-                    variables = {"params": params, **self.extra_vars}
+                    variables = {"params": self._as_tree(params),
+                                 **self.extra_vars}
                     pred, _ = model.apply(variables, protein, molecule,
                                           deterministic=False,
                                           rngs={"dropout": step_rng},
@@ -273,7 +319,8 @@ class Trainer:
                 p_rows, m_rows = xs
                 protein = jax.tree_util.tree_map(lambda a: a[p_rows], p_store)
                 molecule = jax.tree_util.tree_map(lambda a: a[m_rows], m_store)
-                variables = {"params": params, **self.extra_vars}
+                variables = {"params": self._as_tree(params),
+                             **self.extra_vars}
                 pred, _ = model.apply(variables, protein, molecule,
                                       deterministic=True,
                                       return_attention=False)
@@ -289,7 +336,7 @@ class Trainer:
 
         @jax.jit
         def step(params, batch):
-            variables = {"params": params, **self.extra_vars}
+            variables = {"params": self._as_tree(params), **self.extra_vars}
             pred, _ = model.apply(variables, batch.protein, batch.molecule,
                                   deterministic=True,
                                   return_attention=False)
@@ -678,17 +725,17 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             weight=np.ones(1, np.float32), pair_idx=np.zeros(1, np.int32))
     trainer = Trainer(model, config, example, mesh=mesh)
     if initial_params is not None:
+        trainer.set_params(initial_params)
         if mesh is not None:
             from caster_dta_tpu.parallel import mesh as pmesh
-            initial_params = pmesh.replicate_params(initial_params, mesh)
-        trainer.params = initial_params
+            trainer.params = pmesh.replicate_params(trainer.params, mesh)
 
     leakage = split_leakage_report(dataset, train_idx + ovf["train"],
                                    val_idx + ovf["val"],
                                    test_idx + ovf["test"])
     n_train_total = len(train_idx) + len(ovf["train"])
     with open(os.path.join(output_folder, "model_summary.txt"), "w") as f:
-        f.write(checkpoints.param_summary(trainer.params))
+        f.write(checkpoints.param_summary(trainer.params_pytree()))
     # plain module print, the reference's model_standardprint.txt artifact
     # (train_model.py:344-349)
     with open(os.path.join(output_folder, "model_standardprint.txt"), "w") as f:
@@ -713,7 +760,7 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     def save_best(kind, loss, epoch):
         path = os.path.join(output_folder, checkpoints.best_checkpoint_name(
             kind, dataset_name, loss, epoch))
-        checkpoints.save_params(trainer.params, path)
+        checkpoints.save_params(trainer.params_pytree(), path)
         old = best_paths[kind]
         if old is not None and old != path and os.path.exists(old):
             os.remove(old)
@@ -725,10 +772,11 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     history = []
     start_epoch = 0
     if config.resume:
-        st = checkpoints.load_train_state(output_folder, trainer.params,
+        st = checkpoints.load_train_state(output_folder,
+                                          trainer.params_pytree(),
                                           trainer.opt_state)
         if st is not None:
-            trainer.params = st["params"]
+            trainer.set_params(st["params"])
             trainer.opt_state = st["opt_state"]
             trainer.rng = st["rng"]
             start_epoch = st["epoch"] + 1
@@ -816,7 +864,7 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
         if (config.save_state_every
                 and (epoch + 1) % config.save_state_every == 0):
             checkpoints.save_train_state(
-                output_folder, params=trainer.params,
+                output_folder, params=trainer.params_pytree(),
                 opt_state=trainer.opt_state, rng=trainer.rng, epoch=epoch,
                 best_train=best_train, best_val=best_val,
                 n_since_best_val=n_since_best_val, lr=lr, history=history,
@@ -826,11 +874,12 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     # even when N is not a multiple of save_state_every
     if config.save_state_every:
         checkpoints.save_train_state(
-            output_folder, params=trainer.params, opt_state=trainer.opt_state,
+            output_folder, params=trainer.params_pytree(),
+            opt_state=trainer.opt_state,
             rng=trainer.rng, epoch=epoch, best_train=best_train,
             best_val=best_val, n_since_best_val=n_since_best_val, lr=lr,
             history=history, scheduler=scheduler)
-    checkpoints.save_params(trainer.params, os.path.join(
+    checkpoints.save_params(trainer.params_pytree(), os.path.join(
         output_folder, checkpoints.best_checkpoint_name(
             "final", dataset_name, mean_val, epoch)))
 
@@ -840,7 +889,8 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
     # current params instead of crashing.
     try:
         best = checkpoints.get_best_model(output_folder, "val")
-        trainer.params = checkpoints.load_params(trainer.params, best)
+        trainer.set_params(
+            checkpoints.load_params(trainer.params_pytree(), best))
     except FileNotFoundError:
         if verbose:
             print("no best-val checkpoint on disk; test-evaluating with "
@@ -865,4 +915,4 @@ def fit(model, dataset, dataset_name: str, output_folder: str,
             "best_val": best_val, "best_train": best_train,
             "throughput": meter.summary(), "leakage": leakage,
             "overflow_pairs": {k: len(v) for k, v in ovf.items()},
-            "params": trainer.params, "trainer": trainer}
+            "params": trainer.params_pytree(), "trainer": trainer}

@@ -19,6 +19,16 @@ scheduler keeps resident between consecutive ops are counted as full
 traffic, so this is an upper bound on true HBM bytes — utilization
 percentages computed against it are lower bounds. Unlike the op-level
 count it cannot exceed what the hardware actually streamed by design.
+
+Scope limitation (an UNDER-count, unlike the caveats above): only the
+ENTRY computation is walked. Bytes moved inside *called* computations —
+while/conditional bodies, e.g. executables built around lax.scan like the
+scan-over-steps epoch or the eval megabatch step — are represented only by
+the call op's operands/result, which can be a large under-count for such
+programs. The flagship train step this module is used on is straight-line
+(no called computations), so the committed bench numbers are unaffected;
+do not point entry_traffic at a scan-wrapped executable without accounting
+for this (ADVICE r04 #4).
 """
 from __future__ import annotations
 

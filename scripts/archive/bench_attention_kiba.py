@@ -1,4 +1,9 @@
-"""Measure the blockwise Pallas attention (ops/pallas_attention.py) vs the
+"""ARCHIVED (round 5): flash_mha was retired after this benchmark's
+round-4 measurements (see nn/attention.py header + RESULTS.md); the
+flash imports below no longer resolve. Kept for provenance of
+docs/bench/bench_attention_r4*.out.
+
+Measure the blockwise Pallas attention (ops/pallas_attention.py) vs the
 XLA materialized-logits path at the production cross-attention tiers — the
 case the kernel was written for (SURVEY §2.4 CP row: R x A = 4608 x 384 ≈
 1.8M logits/pair/head; VERDICT round-2 missing item 4, round-3 missing #3).

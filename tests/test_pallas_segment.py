@@ -110,3 +110,39 @@ def _run_gather_grad_cases(rng, b, n, e, f, table, idx, ct):
             np.asarray(g1, np.float32), np.asarray(g2, np.float32),
             rtol=2e-2 if dt == jnp.bfloat16 else 1e-5,
             atol=2e-2 if dt == jnp.bfloat16 else 1e-5)
+
+
+def test_gather_windowed_exact(rng):
+    """Window-adaptive gather (measured-off alternative, kept documented)
+    matches a plain row gather bitwise for sorted and unsorted indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from caster_dta_tpu.ops import pallas_segment as ps
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        table = jnp.asarray(rng.normal(size=(3, 96, 12))).astype(dt)
+        src = jnp.asarray(rng.integers(0, 96, (3, 200)).astype(np.int32))
+        dst = jnp.asarray(np.sort(src, axis=1))
+        for idx in (src, dst):
+            got = np.asarray(ps.gather_windowed(table, idx))
+            want = np.asarray(jax.vmap(lambda t, i: t[i])(table, idx))
+            assert np.array_equal(got, want)
+
+
+def test_block_ptr_matches_searchsorted(rng):
+    """The bucket-count block_ptr equals vmap(searchsorted) on sorted dst
+    (incl. the padded tail pinned at num_nodes-1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from caster_dta_tpu.ops import pallas_segment as ps
+
+    n, nb = 96, (96 + ps.BN - 1) // ps.BN
+    dst = np.sort(rng.integers(0, n, (4, 300)).astype(np.int32), axis=1)
+    dst[:, -37:] = n - 1   # padded tail
+    want = jax.vmap(lambda d: jnp.searchsorted(
+        d, jnp.arange(nb + 1, dtype=jnp.int32) * ps.BN, side="left"))(
+        jnp.asarray(dst)).astype(jnp.int32).reshape(-1)
+    got = ps._block_ptr(jnp.asarray(dst), nb)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
