@@ -42,9 +42,9 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, h, lk, hd,
                 precision):
     # One program = one (batch, query-block): all heads processed here so the
     # per-program work amortizes grid/launch overhead (hd is small, the MXU
-    # tiles are thin either way). precision=HIGHEST keeps the f32 numerics of
-    # the XLA/CPU reference path (masked_mha); the training flash path uses
-    # default precision with bf16 operands and f32 accumulation.
+    # tiles are thin either way). precision=HIGHEST keeps the f32 numerics
+    # of the XLA/CPU reference path (the retired flash training path used
+    # default precision with bf16 operands and f32 accumulation).
     nk = lk // BK
     for head in range(h):
         q = q_ref[0, head]                         # [BQ, hd]
