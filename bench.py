@@ -67,7 +67,7 @@ def main():
     # BindingDB-shaped bucket: ~460-residue proteins at 4A threshold
     # (~9 edges/node), drug-size molecules; budget 4e6 -> batch 32 capped.
     B, N_P, E_P, N_M, E_M = 32, 512, 4096, 64, 256
-    assert B % n_dp == 0, "batch 32 must divide n_dp"
+    assert B % n_dp == 0, "--n-dp must divide the flagship batch of 32"
     batch = _synthetic_batch(b=B, n_p=N_P, e_p=E_P, n_m=N_M, e_m=E_M, seed=0)
 
     model = _trained_config_model()

@@ -39,9 +39,11 @@ CED = 1024  # edges per chunk, dense-scan kernel (fewer DMA round trips)
 # Element dtype for the one-hot build (iota == ids compare). The build is
 # the dominant cost of these kernels at the training shapes (~1e12 compare
 # elements/s measured on v5e with int32); int16 doubles VPU lanes per cycle.
-# Values compared are node indices (< 32767 for int16; < 2049 for exact
-# float16 equality), far above any bucket ladder rung. Patched by
-# scripts/bench_segment_kernels.py for A/B.
+# Values compared are node indices: int16 is exact to 32767 (safely above
+# the 4,608-node ladder rung), but float16 is exact only to 2048 — BELOW the
+# top protein rung, so f16 would silently produce multi-hot columns at
+# KIBA/Metz shapes (the committed f16 A/B was bitwise-exact only because it
+# ran at N=512). Patched by scripts/bench_segment_kernels.py for A/B.
 OH_DTYPE = jnp.int32
 
 
@@ -704,13 +706,11 @@ def gather_windowed(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     # per-chunk window start/count from chunk min/max (one tiny XLA fusion)
     nc = e_pad // CEW
-    kmax = np_ // WG
     chunks = idx_p.reshape(b, nc, CEW)
     lo_blk = jnp.min(chunks, axis=2) // WG               # [B, nc], block units
     n_win = jnp.max(chunks, axis=2) // WG - lo_blk + 1
     win = jnp.stack([lo_blk, n_win], axis=2).astype(jnp.int32).reshape(-1)
 
-    del kmax
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -43,6 +43,8 @@ def measure(flat: bool):
         (p, o, rng), losses = jax.lax.scan(body, (p, o, rng), lrs, length=k)
         return p, o, rng, losses
 
+    # deliberately mirrors bench.py main()'s scan_steps/window harness so
+    # the two numbers stay comparable; if that harness changes, change this
     n_steps, n_windows = 50, 5
     lrs = jnp.full((n_steps,), lr, jnp.float32)
     p, o, rng, losses = scan_steps(p, o, rng, lrs, n_steps)
@@ -60,10 +62,13 @@ def measure(flat: bool):
     edges = (int(np.asarray(batch.protein.edge_mask).sum())
              + int(np.asarray(batch.molecule.edge_mask).sum()))
     last_loss = float(np.asarray(losses)[-1])
+    # 1 warmup + the compile-call scan + n_windows timed scans, all of which
+    # advance params/opt_state.
+    total_steps = 1 + n_steps * (1 + n_windows)
     return {"flat": flat, "wall_ms_per_step": round(dt * 1e3, 3),
             "device_step_ms": dev,
             "edges_per_s": round(edges / dt, 1),
-            "loss_after_251_steps": last_loss}
+            f"loss_after_{total_steps}_steps": last_loss}
 
 
 def main():
